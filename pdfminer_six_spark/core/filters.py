@@ -1,0 +1,242 @@
+"""Stream decode filters (SURVEY.md §2.5).
+
+Semantics match the reference (pdfminer.six pdftypes.py:309-397 dispatcher,
+lzw.py, ascii85.py, runlength.py, utils.py:125-245 predictors) including the
+corrupted-zlib salvage path (pdftypes.py:221-240).  Implementation is our
+own; the PNG "Up" predictor row-add is numpy-vectorized since it dominates
+xref-stream decoding.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from base64 import a85decode
+from binascii import unhexlify
+
+import numpy as np
+
+from pdfminer_six_spark.core.objects import PDFError, STRICT
+
+
+class FilterError(PDFError):
+    pass
+
+
+def flatedecode(data: bytes) -> bytes:
+    try:
+        return zlib.decompress(data)
+    except zlib.error as e:
+        if STRICT:
+            raise FilterError(f"bad zlib data: {e!r}") from e
+        try:
+            return _zlib_salvage(data)
+        except zlib.error:
+            return b""
+
+
+def _zlib_salvage(data: bytes) -> bytes:
+    """Recover the decodable prefix of a zlib stream whose tail (checksum
+    area) is corrupt: feed byte-at-a-time, forgive errors within the last
+    3 bytes only."""
+    d = zlib.decompressobj()
+    out = []
+    try:
+        for i in range(len(data)):
+            out.append(d.decompress(data[i : i + 1]))
+    except zlib.error:
+        if i < len(data) - 3:
+            raise
+    return b"".join(out)
+
+
+_A85_HEAD = re.compile(rb"^\s*<?\s*~\s*")
+_A85_TAIL = re.compile(rb"\s*~\s*>?\s*$")
+
+
+def ascii85decode(data: bytes) -> bytes:
+    return a85decode(_A85_TAIL.sub(b"", _A85_HEAD.sub(b"", data)))
+
+
+def asciihexdecode(data: bytes) -> bytes:
+    data = re.sub(rb"\s", b"", data)
+    gt = data.find(b">")
+    if gt != -1:
+        data = data[:gt]
+        if gt % 2 == 1:
+            data += b"0"
+    return unhexlify(data)
+
+
+def rldecode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1 : i + 2 + length]
+            i += 2 + length
+        else:
+            if i + 1 < n:
+                out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def lzwdecode(data: bytes) -> bytes:
+    """LZW per PDF spec / TIFF flavor: codes start at 9 bits, table entries
+    256=clear 257=EOD, width bumps at table sizes 511/1023/2047."""
+    out = []
+    table: list = []
+    prev = b""
+    nbits = 9
+    bitbuf = 0
+    bitcnt = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while bitcnt < nbits:
+            if pos >= n:
+                return b"".join(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - nbits)) & ((1 << nbits) - 1)
+        bitcnt -= nbits
+        if code == 256:
+            table = [bytes((c,)) for c in range(256)] + [None, None]
+            prev = b""
+            nbits = 9
+            continue
+        if code == 257:
+            continue
+        if not prev:
+            if code >= len(table):
+                return b"".join(out)  # corrupt: stop like the reference
+            x = table[code]
+            prev = x
+        else:
+            if code < len(table):
+                x = table[code]
+                table.append(prev + x[:1])
+            elif code == len(table):
+                table.append(prev + prev[:1])
+                x = table[code]
+            else:
+                return b"".join(out)
+            if len(table) == 511:
+                nbits = 10
+            elif len(table) == 1023:
+                nbits = 11
+            elif len(table) == 2047:
+                nbits = 12
+            prev = x
+        out.append(x)
+
+
+def ccittfaxdecode(data: bytes, params: dict) -> bytes:
+    """CCITT G3/G4 is image-pixel data; text extraction never needs it.
+    We surface the raw bytes (metadata-only image handling)."""
+    return data
+
+
+_FILTER_FNS = {
+    "FlateDecode": lambda d, p: flatedecode(d),
+    "LZWDecode": lambda d, p: lzwdecode(d),
+    "ASCII85Decode": lambda d, p: ascii85decode(d),
+    "ASCIIHexDecode": lambda d, p: asciihexdecode(d),
+    "RunLengthDecode": lambda d, p: rldecode(d),
+    "CCITTFaxDecode": ccittfaxdecode,
+}
+
+
+def apply_filter(name: str, data: bytes, params: dict) -> bytes:
+    fn = _FILTER_FNS.get(name)
+    if fn is None:
+        if STRICT:
+            raise FilterError(f"unsupported filter {name!r}")
+        return data
+    return fn(data, params)
+
+
+def apply_predictor(
+    pred: int, colors: int, columns: int, bpc: int, data: bytes
+) -> bytes:
+    if pred == 1 or pred == 0:
+        return data
+    if pred == 2:
+        return _tiff_predictor(colors, columns, bpc, data)
+    if pred >= 10:
+        return _png_predictor(colors, columns, bpc, data)
+    raise FilterError(f"unsupported predictor {pred!r}")
+
+
+def _tiff_predictor(colors: int, columns: int, bpc: int, data: bytes) -> bytes:
+    if bpc != 8:
+        raise FilterError(f"TIFF predictor needs 8 bpc, got {bpc}")
+    bpp = colors
+    nbytes = columns * bpp
+    nrows = len(data) // nbytes if nbytes else 0
+    arr = np.frombuffer(data[: nrows * nbytes], dtype=np.uint8).reshape(
+        nrows, columns, bpp
+    ).astype(np.int64)
+    np.cumsum(arr, axis=1, out=arr)
+    return (arr % 256).astype(np.uint8).tobytes() + data[nrows * nbytes :]
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_predictor(colors: int, columns: int, bpc: int, data: bytes) -> bytes:
+    if bpc not in (8, 1):
+        raise FilterError(f"PNG predictor needs 8/1 bpc, got {bpc}")
+    nbytes = colors * columns * bpc // 8
+    bpp = colors * bpc // 8
+    rows = []
+    # NOTE: the reference seeds the prior scanline with `columns` zero bytes
+    # (utils.py:170) even though scanlines are `nbytes` long; for the
+    # ubiquitous xref-stream case colors=1/bpc=8 they coincide.
+    above = np.zeros(max(nbytes, columns), dtype=np.uint16)[:nbytes]
+    stride = nbytes + 1
+    for start in range(0, len(data), stride):
+        ftype = data[start]
+        line = np.frombuffer(
+            data[start + 1 : start + 1 + nbytes], dtype=np.uint8
+        ).astype(np.uint16)
+        if ftype == 0:
+            raw = line
+        elif ftype == 2:  # Up — vectorized: raw = line + prior (mod 256)
+            raw = (line + above[: len(line)]) & 255
+        elif ftype == 1:  # Sub
+            raw = line.copy()
+            for j in range(bpp, len(raw)):
+                raw[j] = (raw[j] + raw[j - bpp]) & 255
+        elif ftype == 3:  # Average
+            raw = line.copy()
+            for j in range(len(raw)):
+                left = int(raw[j - bpp]) if j >= bpp else 0
+                up = int(above[j]) if j < len(above) else 0
+                raw[j] = (raw[j] + (left + up) // 2) & 255
+        elif ftype == 4:  # Paeth
+            raw = line.copy()
+            for j in range(len(raw)):
+                left = int(raw[j - bpp]) if j >= bpp else 0
+                up = int(above[j]) if j < len(above) else 0
+                ul = int(above[j - bpp]) if (j >= bpp and j - bpp < len(above)) else 0
+                raw[j] = (raw[j] + _paeth(left, up, ul)) & 255
+        else:
+            raise FilterError(f"unsupported PNG filter type {ftype}")
+        rows.append(raw.astype(np.uint8))
+        above = raw
+    if not rows:
+        return b""
+    return np.concatenate(rows).tobytes()
