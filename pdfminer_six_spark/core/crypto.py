@@ -298,7 +298,6 @@ def make_security_handler(docid, param, password: str):
     factory = _HANDLERS.get(int_value(param.get("V", 0)))
     if factory is None:
         return None
-    try:
-        return factory(docid, param, password)
-    except EncryptionError:
-        return None
+    # propagates EncryptionError on failed authentication, like the
+    # reference's PDFPasswordIncorrect (pdfdocument.py:757)
+    return factory(docid, param, password)

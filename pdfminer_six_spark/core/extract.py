@@ -1,0 +1,53 @@
+"""High-level extraction entry points (reference: high_level.py:147-227).
+
+These are the kernels the Spark pipeline wraps in vectorized UDFs: pure
+``bytes -> str`` / ``bytes -> LTPage list`` functions with no I/O.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+from pdfminer_six_spark.core.device import LayoutDevice, TextDevice
+from pdfminer_six_spark.core.document import get_pages
+from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
+from pdfminer_six_spark.core.layout import LAParams, LTPage
+
+def extract_text(
+    data: bytes,
+    password: str = "",
+    page_numbers=None,
+    maxpages: int = 0,
+    laparams: Optional[LAParams] = None,
+) -> str:
+    """Reference-equivalent of pdfminer.high_level.extract_text."""
+    if laparams is None:
+        laparams = LAParams()
+    device = TextDevice(laparams=laparams)
+    # font cache is keyed by objid: scope it to one document
+    interp = Interpreter(ResourceManager(), device)
+    for page in get_pages(
+        data, password=password, page_numbers=page_numbers, maxpages=maxpages
+    ):
+        interp.process_page(page)
+    return device.get_text()
+
+
+def extract_pages(
+    data: bytes,
+    password: str = "",
+    page_numbers=None,
+    maxpages: int = 0,
+    laparams: Optional[LAParams] = None,
+) -> Iterator[LTPage]:
+    """Reference-equivalent of pdfminer.high_level.extract_pages."""
+    if laparams is None:
+        laparams = LAParams()
+    rsrcmgr = ResourceManager()
+    for page in get_pages(
+        data, password=password, page_numbers=page_numbers, maxpages=maxpages
+    ):
+        device = LayoutDevice(laparams=laparams)
+        interp = Interpreter(rsrcmgr, device)
+        interp.process_page(page)
+        yield device.get_result()

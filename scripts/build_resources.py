@@ -96,12 +96,17 @@ def build_cmaps() -> None:
     index = {"cmaps": [], "unicode_maps": []}
     for name in names:
         if name.startswith("to-unicode-"):
-            umap = CMapDB.get_unicode_map(
-                name[len("to-unicode-") :], vertical=False
+            short = name[len("to-unicode-") :]
+            h = CMapDB.get_unicode_map(short, vertical=False)
+            v = CMapDB.get_unicode_map(short, vertical=True)
+            dump(
+                "u2-" + short,
+                {
+                    "H": {str(k): c for k, c in h.cid2unichr.items()},
+                    "V": {str(k): c for k, c in v.cid2unichr.items()},
+                },
             )
-            cid2u = {str(k): v for k, v in umap.cid2unichr.items()}
-            dump("u2-" + name[len("to-unicode-") :], cid2u)
-            index["unicode_maps"].append(name[len("to-unicode-") :])
+            index["unicode_maps"].append(short)
             continue
         cmap = CMapDB.get_cmap(name)
         if isinstance(cmap, (IdentityCMap, IdentityCMapByte)):
