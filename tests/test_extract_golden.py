@@ -1,0 +1,111 @@
+"""Golden end-to-end extraction tests.
+
+The golden strings are the reference's own regression goldens
+(reference tests/test_highlevel_extracttext.py:23-59) — our engine must
+reproduce them byte-for-byte.  The differential sweep additionally compares
+against the reference implementation on the full sample corpus when it is
+available at /root/reference.
+"""
+
+import glob
+import os
+
+import pytest
+
+from pdfminer_six_spark.core.extract import extract_text
+from pdfminer_six_spark.core.layout import LAParams
+from tests.conftest import SAMPLES, reference_available
+
+GOLDEN = {
+    "simple1.pdf": "Hello \n\nWorld\n\nHello \n\nWorld\n\n"
+    "H e l l o  \n\nW o r l d\n\n"
+    "H e l l o  \n\nW o r l d\n\n\f",
+    "simple2.pdf": "\f",
+    "simple3.pdf": "Hello\n\nHello\nあ\nい\nう\nえ\nお\nあ\nい\nう\nえ\nお\n"
+    "World\n\nWorld\n\n\f",
+    "simple4.pdf": "Text1\nText2\nText3\n\n\f",
+    "simple5.pdf": "Heading\n\n"
+    "Link to heading that is working with vim-pandoc.\n\n"
+    "Link to heading “that is” not working with vim-pandoc.\n\n"
+    "Subheading\n\nSome “more text”\n\n1\n\n\f",
+    "contrib/issue_566_test_1.pdf": "ISSUE Date：2019-4-25 Buyer：黎荣\n\n\f",
+    "contrib/issue_566_test_2.pdf": "甲方：中国饮料有限公司（盖章）\n\n\f",
+    "contrib/issue-625-identity-cmap.pdf": "Termin płatności: 2021-05-03",
+    "contrib/issue-791-non-unicode-cmap.pdf": "Peněžní prostředky na účtech\n\n\f",
+    "contrib/issue-886-xref-stream-widths.pdf": "Hello \n\n\f",
+}
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(SAMPLES, name), "rb") as f:
+        return f.read()
+
+
+@pytest.mark.skipif(not reference_available(), reason="sample corpus absent")
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_golden(name):
+    got = extract_text(_read(name))
+    want = GOLDEN[name]
+    if name == "contrib/issue-625-identity-cmap.pdf":
+        # golden is line 7 of the output (reference test :139-143)
+        assert got.splitlines()[6] == want
+    else:
+        assert got == want
+
+
+@pytest.mark.skipif(not reference_available(), reason="sample corpus absent")
+def test_zen_corrupted_prefix():
+    got = extract_text(_read("zen_of_python_corrupted.pdf"))
+    assert got.startswith("Mai 30, 18 13:27\n\nzen_of_python.txt")
+
+
+@pytest.mark.skipif(not reference_available(), reason="sample corpus absent")
+def test_boxes_flow_disabled():
+    got = extract_text(_read("simple1.pdf"), laparams=LAParams(boxes_flow=None))
+    assert got == GOLDEN["simple1.pdf"]
+
+
+@pytest.mark.skipif(not reference_available(), reason="sample corpus absent")
+def test_line_margin_sweep():
+    # reference tests :157-206: 0.19 -> 3 boxes, 0.21 -> 1 box
+    data = _read("simple4.pdf")
+    assert extract_text(data, laparams=LAParams(line_margin=0.19)) == (
+        "Text1\nText2\nText3\n\n\f"
+    )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference absent")
+@pytest.mark.parametrize(
+    "subdir", ["", "contrib", "acroform", "scancode", "encryption"]
+)
+def test_differential_full_corpus(subdir):
+    """Byte-for-byte equality with the reference on every sample PDF."""
+    import logging
+
+    logging.disable(logging.WARNING)
+    from tests.conftest import import_reference
+
+    import_reference()
+    from pdfminer.high_level import extract_text as ref_extract
+
+    passwords = {
+        "encryption/aes-256-r6.pdf": "usersecret",
+    }
+    pattern = os.path.join(SAMPLES, subdir, "*.pdf")
+    files = sorted(glob.glob(pattern))
+    assert files, pattern
+    for f in files:
+        short = os.path.relpath(f, SAMPLES)
+        pw = passwords.get(short, "foo" if subdir == "encryption" else "")
+        try:
+            want = ref_extract(f, password=pw)
+        except Exception as e:
+            want = ("ERR", type(e).__name__)
+        try:
+            got = extract_text(open(f, "rb").read(), password=pw)
+        except Exception as e:
+            got = ("ERR", type(e).__name__)
+        if isinstance(want, tuple):
+            assert isinstance(got, tuple), f"{short}: ref errored, ours succeeded"
+        else:
+            assert got == want, f"mismatch on {short}"
