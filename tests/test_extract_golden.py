@@ -67,9 +67,12 @@ def test_boxes_flow_disabled():
 
 @pytest.mark.skipif(not reference_available(), reason="sample corpus absent")
 def test_line_margin_sweep():
-    # reference tests :157-206: 0.19 -> 3 boxes, 0.21 -> 1 box
+    # reference tests :157-206: 0.19 -> 3 boxes, default/0.21 -> 1 box
     data = _read("simple4.pdf")
     assert extract_text(data, laparams=LAParams(line_margin=0.19)) == (
+        "Text1\n\nText2\n\nText3\n\n\f"
+    )
+    assert extract_text(data, laparams=LAParams(line_margin=0.21)) == (
         "Text1\nText2\nText3\n\n\f"
     )
 
