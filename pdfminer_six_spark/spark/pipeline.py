@@ -1,0 +1,360 @@
+"""The distributed extraction pipeline (the engine's flagship job).
+
+Input: a transcripts DataFrame with the BASELINE.json input_hint schema
+    (conv_id string, turn_idx int, role string, text string, tool string,
+     ts timestamp).
+Output: ``extracted`` rows — per-turn text + spans + status — plus optional
+flattened layout relations (chars/lines/boxes) and per-partition lineage.
+
+Design (SURVEY.md §2.11, §4):
+
+* Extraction is a **row-local map** — no keyed shuffle is required at all.
+  We use ``mapInPandas`` (Arrow-batched; never per-row Python).  The only
+  shuffle in the whole job is an optional round-robin ``repartition(N)`` to
+  rebalance skew (a 500-page payload next to one-liners), and an optional
+  ``repartitionByRange(conv_id, turn_idx)`` before the sink when the
+  stable-output-ordering invariant is requested.
+* Per-executor warm caches: AFM/encodings/CMap resources load once per
+  python worker at module import; fonts are cached per document.
+* Failures never kill a task: each turn gets a ``status`` of
+  ok | empty | bad_password | error, with the exception recorded —
+  STRICT=False semantics, lifted to the pipeline level (reference
+  pdfminer.six settings.py:1, permissive coercers pdftypes.py:148-218).
+"""
+
+from __future__ import annotations
+
+import base64
+import time
+from typing import Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+    BooleanType,
+)
+
+TRANSCRIPTS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_chars", IntegerType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("wall_ms", DoubleType()),
+    ]
+)
+
+CHARS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("page_id", IntegerType()),
+        StructField("char_seq", IntegerType()),
+        StructField("text", StringType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("size", DoubleType()),
+        StructField("adv", DoubleType()),
+        StructField("upright", BooleanType()),
+        StructField("fontname", StringType()),
+    ]
+)
+
+LINES_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("page_id", IntegerType()),
+        StructField("line_id", IntegerType()),
+        StructField("box_id", IntegerType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("wmode", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+BOXES_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("page_id", IntegerType()),
+        StructField("box_id", IntegerType()),
+        StructField("box_index", IntegerType()),
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("wmode", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def _extract_one(tool: str, text: str, password: str) -> tuple:
+    """(text, n_pages, status, error) for one turn payload."""
+    from pdfminer_six_spark.core.crypto import EncryptionError
+    from pdfminer_six_spark.core.extract import extract_text
+    from pdfminer_six_spark.core.html import extract_main_text
+
+    if tool == "pdf":
+        try:
+            payload = base64.b85decode(text)
+        except ValueError as e:
+            return ("", 0, "error", f"b85decode: {e}")
+        try:
+            out = extract_text(payload, password=password)
+            return (out, out.count("\f"), "ok" if out else "empty", "")
+        except EncryptionError as e:
+            return ("", 0, "bad_password", str(e))
+        except Exception as e:  # permissive: record, never fail the task
+            return ("", 0, "error", f"{type(e).__name__}: {e}")
+    if tool == "html":
+        try:
+            out = extract_main_text(text)
+            return (out, 0, "ok" if out else "empty", "")
+        except Exception as e:
+            return ("", 0, "error", f"{type(e).__name__}: {e}")
+    # plain turn: identity
+    return (text, 0, "ok", "")
+
+
+def extract_transcripts(
+    df: DataFrame,
+    password: str = "",
+    rebalance_partitions: Optional[int] = None,
+    sort_output: bool = False,
+) -> DataFrame:
+    """transcripts -> extracted.  Arrow-batched, row-local, shuffle-free
+    (unless rebalancing/sorting is requested)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            t0 = time.perf_counter()
+            texts: List[str] = []
+            pages: List[int] = []
+            statuses: List[str] = []
+            errors: List[str] = []
+            for tool, text in zip(pdf_batch["tool"], pdf_batch["text"]):
+                out, np_, st, err = _extract_one(tool or "", text or "", password)
+                texts.append(out)
+                pages.append(np_)
+                statuses.append(st)
+                errors.append(err)
+            wall = (time.perf_counter() - t0) * 1000.0 / max(len(texts), 1)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf_batch["conv_id"],
+                    "turn_idx": pdf_batch["turn_idx"].astype("int32"),
+                    "text": pd.Series(texts, index=pdf_batch.index, dtype="object"),
+                    "n_pages": pd.Series(pages, index=pdf_batch.index, dtype="int32"),
+                    "n_chars": pd.Series(
+                        [len(t) for t in texts], index=pdf_batch.index, dtype="int32"
+                    ),
+                    "status": pd.Series(statuses, index=pdf_batch.index),
+                    "error": pd.Series(errors, index=pdf_batch.index),
+                    "wall_ms": pd.Series(
+                        [wall] * len(texts), index=pdf_batch.index, dtype="float64"
+                    ),
+                }
+            )
+
+    src = df.select("conv_id", "turn_idx", "text", "tool")
+    if rebalance_partitions:
+        # round-robin: uniform work distribution without a keyed shuffle
+        src = src.repartition(rebalance_partitions)
+    out = src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+    if sort_output:
+        # stable turn ordering invariant for the sink
+        out = out.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
+            "conv_id", "turn_idx"
+        )
+    return out
+
+
+def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
+    """transcripts -> {chars, lines, boxes} flattened layout relations.
+
+    Only PDF turns contribute.  One ``mapInPandas`` per relation keeps each
+    output schema fixed and lets Spark pipeline them independently (the
+    extraction kernel is re-run per relation — acceptable for analysis
+    workloads; the hot path is extract_transcripts).
+    """
+
+    def page_items(payload: bytes):
+        from pdfminer_six_spark.core.extract import extract_pages
+
+        return list(extract_pages(payload, password=password))
+
+    def run_chars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdfminer_six_spark.core.layout import LTChar, LTContainer
+
+        for b in batches:
+            rows = []
+            for conv_id, turn_idx, tool, text in zip(
+                b["conv_id"], b["turn_idx"], b["tool"], b["text"]
+            ):
+                if tool != "pdf":
+                    continue
+                try:
+                    pages = page_items(base64.b85decode(text))
+                except Exception:
+                    continue
+                for pageno, page in enumerate(pages):
+                    seq = 0
+
+                    def walk(item):
+                        nonlocal seq
+                        if isinstance(item, LTChar):
+                            rows.append(
+                                (
+                                    conv_id, int(turn_idx), pageno, seq,
+                                    item.get_text(), item.x0, item.y0,
+                                    item.x1, item.y1, item.size, item.adv,
+                                    bool(item.upright), item.fontname,
+                                )
+                            )
+                            seq += 1
+                        if isinstance(item, LTContainer):
+                            for child in item:
+                                walk(child)
+
+                    walk(page)
+            yield pd.DataFrame(rows, columns=[f.name for f in CHARS_SCHEMA.fields])
+
+    def run_lines_boxes(which: str):
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pdfminer_six_spark.core.layout import (
+                LTTextBox,
+                LTTextBoxVertical,
+                LTTextLine,
+                LTTextLineVertical,
+            )
+
+            for b in batches:
+                rows = []
+                for conv_id, turn_idx, tool, text in zip(
+                    b["conv_id"], b["turn_idx"], b["tool"], b["text"]
+                ):
+                    if tool != "pdf":
+                        continue
+                    try:
+                        pages = page_items(base64.b85decode(text))
+                    except Exception:
+                        continue
+                    for pageno, page in enumerate(pages):
+                        box_id = 0
+                        line_id = 0
+                        for item in page:
+                            if not isinstance(item, LTTextBox):
+                                continue
+                            if which == "boxes":
+                                rows.append(
+                                    (
+                                        conv_id, int(turn_idx), pageno, box_id,
+                                        item.index, item.x0, item.y0, item.x1,
+                                        item.y1,
+                                        "tb-rl"
+                                        if isinstance(item, LTTextBoxVertical)
+                                        else "lr-tb",
+                                        item.get_text(),
+                                    )
+                                )
+                            else:
+                                for line in item:
+                                    if not isinstance(line, LTTextLine):
+                                        continue
+                                    rows.append(
+                                        (
+                                            conv_id, int(turn_idx), pageno,
+                                            line_id, box_id, line.x0, line.y0,
+                                            line.x1, line.y1,
+                                            "tb-rl"
+                                            if isinstance(line, LTTextLineVertical)
+                                            else "lr-tb",
+                                            line.get_text(),
+                                        )
+                                    )
+                                    line_id += 1
+                            box_id += 1
+                schema = BOXES_SCHEMA if which == "boxes" else LINES_SCHEMA
+                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+        return run
+
+    src = df.select("conv_id", "turn_idx", "text", "tool")
+    return {
+        "chars": src.mapInPandas(run_chars, schema=CHARS_SCHEMA),
+        "lines": src.mapInPandas(run_lines_boxes("lines"), schema=LINES_SCHEMA),
+        "boxes": src.mapInPandas(run_lines_boxes("boxes"), schema=BOXES_SCHEMA),
+    }
+
+
+def lineage_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows (SURVEY.md §1.1 lineage relation).
+
+    Committed alongside results; a restarted job anti-joins its input
+    against the already-committed (conv_id, turn_idx) pairs to resume.
+    """
+    return (
+        extracted.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("n_ok"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias(
+                "n_error"
+            ),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_pages").alias("n_pages"),
+            F.avg("wall_ms").alias("avg_wall_ms"),
+            F.xxhash64(F.concat_ws("|", F.collect_list("conv_id"))).alias(
+                "conv_ids_hash"
+            ),
+        )
+    )
+
+
+def resume_filter(transcripts: DataFrame, done: DataFrame) -> DataFrame:
+    """Drop turns already present in the committed output (exact resume)."""
+    return transcripts.join(
+        done.select("conv_id", "turn_idx"),
+        on=["conv_id", "turn_idx"],
+        how="left_anti",
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 16) -> DataFrame:
+    """Keyed-but-salted repartition for when co-location by conv_id is
+    wanted downstream, without letting one huge conversation own a task."""
+    return df.repartition(
+        num_partitions,
+        F.col("conv_id"),
+        F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets)),
+    )

@@ -1,0 +1,118 @@
+"""End-to-end Spark pipeline test: per-turn text equality vs reference
+goldens under stable turn ordering (the north-rule invariant)."""
+
+import base64
+
+import pandas as pd
+import pytest
+
+from tests.conftest import reference_available
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdfminer_six_spark.spark.session import build_session
+
+    s = build_session(app_name="pipeline-test", master="local[4]",
+                      shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf(spark):
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+
+    pdf = transcripts_pandas(n_convs=40)
+    return pdf
+
+
+def test_per_turn_equality(spark, transcripts_pdf):
+    """Our Spark pipeline's per-turn text == reference extract_text
+    (pdf turns), == <main> text (html turns), == identity (plain)."""
+    if not reference_available():
+        pytest.skip("reference absent")
+    import logging
+
+    logging.disable(logging.WARNING)
+    from tests.conftest import import_reference
+
+    import_reference()
+    from io import BytesIO
+
+    from pdfminer.high_level import extract_text as ref_extract
+
+    from pdfminer_six_spark.core.html import extract_main_text
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+
+    df = spark.createDataFrame(transcripts_pdf)
+    out = extract_transcripts(df, sort_output=True).toPandas()
+    src = transcripts_pdf.set_index(["conv_id", "turn_idx"])
+
+    assert len(out) == len(transcripts_pdf)
+    n_pdf = 0
+    for row in out.itertuples():
+        source = src.loc[(row.conv_id, row.turn_idx)]
+        if source.tool == "pdf":
+            n_pdf += 1
+            want = ref_extract(BytesIO(base64.b85decode(source.text)))
+            assert row.text == want, (row.conv_id, row.turn_idx)
+            assert row.status == "ok"
+            assert row.n_pages == want.count("\f")
+        elif source.tool == "html":
+            assert row.text == extract_main_text(source.text)
+        else:
+            assert row.text == source.text
+    assert n_pdf > 50
+
+
+def test_stable_output_ordering(spark, transcripts_pdf):
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+
+    df = spark.createDataFrame(transcripts_pdf)
+    out = extract_transcripts(df, sort_output=True).toPandas()
+    # within each output partition rows are sorted; global sort check:
+    key = list(zip(out.conv_id, out.turn_idx))
+    # repartitionByRange + sortWithinPartitions => toPandas preserves
+    # partition order => globally sorted
+    assert key == sorted(key)
+
+
+def test_error_rows_do_not_fail_job(spark):
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+
+    bad = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": pd.array([0, 1, 0], dtype="int32"),
+            "role": ["user"] * 3,
+            "text": ["not-base85 at all!!", "%PDF-1.4 truncated", "hello"],
+            "tool": ["pdf", "pdf", ""],
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+        }
+    )
+    out = extract_transcripts(spark.createDataFrame(bad)).toPandas()
+    statuses = dict(zip(zip(out.conv_id, out.turn_idx), out.status))
+    assert statuses[("c2", 0)] == "ok"
+    assert statuses[("c1", 0)] in ("error", "empty")
+    assert statuses[("c1", 1)] in ("error", "empty")
+
+
+def test_resume_filter(spark, transcripts_pdf):
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts, resume_filter
+
+    df = spark.createDataFrame(transcripts_pdf)
+    done = extract_transcripts(df.limit(50))
+    remaining = resume_filter(df, done)
+    assert remaining.count() == df.count() - 50
+
+
+def test_lineage_metrics(spark, transcripts_pdf):
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts, lineage_metrics
+
+    df = spark.createDataFrame(transcripts_pdf)
+    m = lineage_metrics(extract_transcripts(df)).toPandas()
+    assert m.n_turns.sum() == len(transcripts_pdf)
+    assert (m.n_error == 0).all()
