@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Per-round benchmark.  Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+
+Headline: the extraction pipeline (turns/sec over a deterministic
+transcripts table — the north-star metric), plus the heavyweight relational
+and training-data queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env:
+  SPARK_GRAFT_SF_DIR  testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default all cores)
+  BENCH_N_CONVS       transcript conversations for the extraction bench
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_convs = int(os.environ.get("BENCH_N_CONVS", "1500"))
+
+    from pdfminer_six_spark.spark.session import build_session
+
+    spark = build_session(app_name="bench")
+    sc_defaultpar = spark.sparkContext.defaultParallelism
+
+    from pdfminer_six_spark.datagen.transcripts import transcripts_df
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+    from pdfminer_six_spark.queries import QUERIES
+
+    timings: dict[str, float] = {}
+
+    # --- headline: extraction throughput ---
+    transcripts = transcripts_df(spark, n_convs=n_convs).persist()
+    n_turns = transcripts.count()  # materialize input outside the timer
+    t0 = time.perf_counter()
+    extracted = extract_transcripts(transcripts)
+    stats = extracted.groupBy("status").count().collect()
+    dt_extract = time.perf_counter() - t0
+    timings["extract_transcripts"] = round(dt_extract, 3)
+    n_ok = sum(r["count"] for r in stats if r["status"] == "ok")
+    transcripts.unpersist()
+    turns_per_sec = round(n_turns / dt_extract, 1)
+
+    # --- relational / ops suite at sf ---
+    suite = [
+        "pricing_summary",
+        "join_revenue_by_nation",
+        "sessionize_events",
+        "window_topn_per_customer",
+        "range_join_bands",
+        "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
+        "text_token_stats",
+        "ann_topk_cosine",
+        "embedding_near_dups",
+    ]
+    for name in suite:
+        fn, _sql = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench suite wall time (extraction + relational ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns_per_sec": turns_per_sec,
+                "n_turns": n_turns,
+                "n_turns_ok": n_ok,
+                "parallelism": sc_defaultpar,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Brute-force cosine top-k is the exact baseline (JVM-side ``zip_with`` +
+``aggregate`` — no Python); the LSH-bucketed variant (random hyperplane
+signatures) is the scale path: at 10^9 vectors the cross join dies, the
+bucket equi-join doesn't.  Embedding-cosine near-dup pairs reuse the same
+kernel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    round_digits: int = 5,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries: (query_id, qvec).  The query side is broadcast — it is small
+    by construction; the corpus side streams, no shuffle of the corpus.
+    """
+    joined = embeddings.crossJoin(F.broadcast(queries))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("embedding"), F.col("qvec")), round_digits).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame, n_planes: int = 8, dim: int = 8, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH signature (n_planes sign bits) per vector.
+    Hyperplanes are derived deterministically from the seed, so the plan is
+    reproducible across runs/executors."""
+    import random
+
+    rng = random.Random(seed)
+    planes: List[List[float]] = [
+        [rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    sig = F.aggregate(
+        F.array(
+            *[
+                F.when(
+                    _dot(
+                        F.col("embedding"),
+                        F.array(*[F.lit(v) for v in plane]),
+                    )
+                    > 0,
+                    F.lit(1 << i),
+                ).otherwise(F.lit(0))
+                for i, plane in enumerate(planes)
+            ]
+        ),
+        F.lit(0),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return embeddings.withColumn("bucket", sig)
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, n_planes: int = 6
+) -> DataFrame:
+    """Approximate top-k: only vectors in the query's hyperplane bucket are
+    scored.  Recall < 1 by design; this is the 100 TB path."""
+    dim = 8
+    emb_b = hyperplane_signatures(embeddings, n_planes, dim)
+    q_b = hyperplane_signatures(
+        queries.withColumnRenamed("qvec", "embedding"), n_planes, dim
+    ).withColumnRenamed("embedding", "qvec")
+    joined = emb_b.join(F.broadcast(q_b), on="bucket")
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 5).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.999
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cos >= t).
+    Exact form is a self cross join; at scale swap in the bucketed join
+    (hyperplane_signatures) exactly like minhash LSH."""
+    a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("ea"), F.col("eb")), 5).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

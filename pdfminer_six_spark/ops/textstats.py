@@ -1,0 +1,124 @@
+"""Text-analysis operators over the ``documents`` table (driver brief):
+token counting, quality scoring, language ID, fingerprinting.
+
+All hot-path logic uses JVM-side built-ins (``pyspark.sql.functions``) —
+no Python UDFs — so Catalyst keeps whole-stage codegen and the plans scale
+linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny multi-language stopword sets for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "que", "pour", "dans", "une"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "es"],
+}
+
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+PUNCT_RE = "[.,;:!?]"
+
+
+def tokens_col(col):
+    """Non-empty whitespace tokens of a string column."""
+    return F.filter(F.split(col, "\\s+"), lambda x: x != "")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens (whitespace), n_bpe_tokens (BPE-ish regex), n_punct,
+    avg token length — all JVM-side."""
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn(
+            "n_bpe_tokens",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)),
+        )
+        .withColumn(
+            "n_punct",
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, "")),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                F.size(toks) > 0,
+                F.round(
+                    F.aggregate(
+                        F.transform(toks, lambda t: F.length(t).cast("double")),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.size(toks),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword-ratio quality heuristic in [0,1]."""
+    stats = with_token_stats(df, text_col)
+    lower_toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stats = stats.withColumn(
+        "stopword_ratio",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.size(F.filter(lower_toks, lambda t: F.array_contains(en_stop, t)))
+                / F.col("n_tokens"),
+                4,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
+    return stats.withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+            + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+            + F.when(F.col("n_tokens") > 0, 1.0 - F.least(
+                F.col("n_punct") / F.col("n_tokens"), F.lit(1.0))
+            ).otherwise(F.lit(0.0)) * 0.2,
+            4,
+        ),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family). Deterministic:
+    score per language = #tokens in that language's stopword list;
+    ties break lexicographically."""
+    lower_toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    scored = df.withColumn("_toks", lower_toks)
+    langs = sorted(STOPWORDS)
+    score_cols = []
+    for lang in langs:
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scored = scored.withColumn(
+            f"_score_{lang}",
+            F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(stop, t))),
+        )
+        score_cols.append(f"_score_{lang}")
+    # argmax with lexicographic tiebreak
+    pairs = F.array(
+        *[F.struct(F.col(c).alias("s"), F.lit(lang).alias("l"))
+          for c, lang in zip(score_cols, langs)]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("s"), F.lit("").alias("l")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+    return scored.withColumn("pred_lang", best["l"]).drop("_toks", *score_cols)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""
+    normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
+    return df.withColumn("fp", F.md5(normalized))

@@ -1,0 +1,719 @@
+"""Query registry: every SQL-expressible operator family from
+SURVEY.md §2.11 plus the training-data ops, each as a (spark_fn, oracle_sql)
+pair.  The driver's harness (__spark_entry__.py) runs both sides at sf0.01
+and compares row-count + schema + order-insensitive value hash — column
+names/aliases are kept identical on both sides, floats are rounded, and
+timestamps are stringified, so the hashes can match bit-for-bit.
+
+Scale annotations are inline: which side shuffles, what gets broadcast,
+where skew is handled.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pdfminer_six_spark.ops import ann, dedup, textstats
+
+QuerySpec = Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational operator mirrors (SURVEY.md §2.11)
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter -> hash agg with map-side partials.
+    Filter + column pruning push to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_filter_project(spark, sf_dir):
+    """Projection + predicate: both push down to the parquet scan
+    (PushedFilters/ReadSchema visible in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 10)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("price"),
+        "l_returnflag",
+    )
+
+
+_SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price, l_returnflag
+FROM lineitem WHERE l_discount >= 0.05 AND l_quantity < 10
+"""
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    """3-way join: orders shuffles on custkey; nation/region are broadcast
+    (small dims) so only one shuffle survives."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_SQL_JOIN_REVENUE = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_broadcast_join_brand(spark, sf_dir):
+    """Explicit broadcast of the part dim against the lineitem fact."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_SQL_BROADCAST_BRAND = """
+SELECT p_brand, ROUND(AVG(l_extendedprice), 2) AS avg_price, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """left_semi: customers that placed at least one urgent order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """left_anti: customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def q_window_topn_per_customer(spark, sf_dir):
+    """row_number window: top-3 orders per customer (ties broken by key —
+    the same ranking shape as the engine's reading-order assignment L6)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn",
+                F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_SQL_WINDOW_TOPN = """
+SELECT o_custkey, o_orderkey, rn, ROUND(o_totalprice, 2) AS total FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 3
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Sessionization — the exact operator shape of the engine's char->line
+    grouping (L1/L2): lag -> gap flag -> running sum = segment id -> agg.
+    One shuffle on user_id; running sum is within-partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates);
+    # the parquet column is TIMESTAMP_NTZ, so hop through timestamp_ltz
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, value,
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 600 SECOND THEN 0 ELSE 1
+         END AS new_session,
+         ts, event_id
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP grouping sets (lineage metrics by (), (status), (status,prio))."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+_SQL_TOPK = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS total FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_set_ops(spark, sf_dir):
+    """EXCEPT (distinct): part names sold only in the largest sizes."""
+    part = _t(spark, sf_dir, "part")
+    big = part.filter(F.col("p_size") >= 49).select("p_name")
+    small = part.filter(F.col("p_size") <= 2).select("p_name")
+    return big.subtract(small)  # EXCEPT DISTINCT semantics
+
+
+_SQL_SET_OPS = """
+SELECT DISTINCT p_name FROM part WHERE p_size >= 49
+EXCEPT
+SELECT DISTINCT p_name FROM part WHERE p_size <= 2
+"""
+
+
+def q_distinct_by_segment(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+_SQL_DISTINCT = """
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_string_funcs(spark, sf_dir):
+    """String kitchen sink mirroring the text sink's concat/format ops."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_masked"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+    )
+
+
+_SQL_STRING = """
+SELECT c_custkey, UPPER(c_name) AS name_upper, LENGTH(c_name) AS name_len,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       REGEXP_REPLACE(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       CONCAT_WS('|', c_mktsegment, c_name) AS seg_name
+FROM customer
+"""
+
+
+def q_monthly_orders(spark, sf_dir):
+    """date_trunc aggregation; month stringified for hash parity."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_SQL_MONTHLY = """
+SELECT STRFTIME(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY 1
+"""
+
+
+def q_math_case(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "high")
+        .when(F.col("l_quantity") >= 20, "mid")
+        .otherwise("low")
+        .alias("qty_band"),
+        F.round(
+            F.sqrt(F.col("l_extendedprice"))
+            + F.abs(F.col("l_discount") - 0.05) * 100
+            + F.floor(F.col("l_tax") * 10),
+            4,
+        ).alias("synthetic_score"),
+    )
+
+
+_SQL_MATH = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity >= 40 THEN 'high'
+            WHEN l_quantity >= 20 THEN 'mid' ELSE 'low' END AS qty_band,
+       ROUND(SQRT(l_extendedprice) + ABS(l_discount - 0.05) * 100
+             + FLOOR(l_tax * 10), 4) AS synthetic_score
+FROM lineitem
+"""
+
+
+def q_word_explode(spark, sf_dir):
+    """Array ops: split/explode the documents text -> word frequencies."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(textstats.tokens_col(F.lower(F.col("text")))).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+_SQL_WORD_EXPLODE = """
+SELECT word, COUNT(*) AS n FROM (
+  SELECT UNNEST(list_filter(regexp_split_to_array(LOWER(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents)
+GROUP BY word HAVING COUNT(*) >= 100
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON extraction from the events props payload."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON = """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_range_join_bands(spark, sf_dir):
+    """Non-equi (range) join — the relational mirror of the layout
+    neighbor search (L3): value intervals instead of bbox intervals.
+    The band table is tiny -> broadcast nested-loop join, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(
+        [("band0", 0.0, 20000.0), ("band1", 20000.0, 40000.0),
+         ("band2", 40000.0, 60000.0), ("band3", 60000.0, 1e9)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo"))
+            & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l_discount"), 6).alias("avg_disc"))
+    )
+
+
+_SQL_RANGE_JOIN = """
+WITH bands(band, lo, hi) AS (VALUES ('band0', 0.0, 20000.0),
+  ('band1', 20000.0, 40000.0), ('band2', 40000.0, 60000.0),
+  ('band3', 60000.0, 1e9))
+SELECT band, COUNT(*) AS n, ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band
+"""
+
+
+def q_union_parties(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return cust.unionByName(supp).groupBy("kind").agg(
+        F.count("*").alias("n"), F.round(F.sum("acctbal"), 2).alias("total_bal")
+    )
+
+
+_SQL_UNION = """
+SELECT kind, COUNT(*) AS n, ROUND(SUM(acctbal), 2) AS total_bal FROM (
+  SELECT c_name AS name, ROUND(c_acctbal, 2) AS acctbal, 'customer' AS kind
+  FROM customer
+  UNION ALL
+  SELECT s_name, ROUND(s_acctbal, 2), 'supplier' FROM supplier)
+GROUP BY kind
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops (dedup / text analysis / similarity)
+
+
+def q_exact_dups(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_SQL_EXACT_DUPS = """
+SELECT fp, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs FROM (
+  SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents)
+GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+_SQL_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(CASE WHEN len(t) >= 3
+                  THEN [array_to_string(t[i+1:i+3], ' ')
+                        FOR i IN RANGE(0, len(t) - 2)]
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks) WHERE shingle <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+_SQL_JACCARD = _SQL_SHINGLES_CTE + """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         ROUND(nc * 1.0 / (x.n + y.n - nc), 6) AS jaccard
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+WHERE jaccard >= 0.6
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Scale path — LSH candidates verified exactly.  Oracle-checked
+    against exact Jaccard: recall must be 1 at this threshold/banding."""
+    return dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.with_token_stats(docs).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "n_punct", "avg_token_len"
+    )
+
+
+_SQL_TOKEN_STATS = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+    AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+    AS n_bpe_tokens,
+  LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS n_punct,
+  CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) > 0
+  THEN ROUND(list_sum(list_transform(
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+         x -> CAST(LENGTH(x) AS DOUBLE)))
+       / len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 4)
+  ELSE 0.0 END AS avg_token_len
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fp"
+    )
+
+
+_SQL_FINGERPRINT = """
+SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_language_id(spark, sf_dir):
+    return textstats.language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang"
+    )
+
+
+def _lang_sql() -> str:
+    score_exprs = []
+    for lang, words in sorted(textstats.STOPWORDS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains([{lst}], t))) AS s_{lang}"
+        )
+    langs = sorted(textstats.STOPWORDS)
+    # argmax with lexicographic tiebreak == the Spark aggregate's semantics
+    best = "CASE "
+    for lang in langs:
+        others = [o for o in langs if o != lang]
+        conds = []
+        for o in others:
+            op = ">" if o < lang else ">="
+            conds.append(f"s_{lang} {op} s_{o}")
+        best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    best += "END AS pred_lang"
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> ''), x -> LOWER(x)) AS toks
+  FROM documents),
+s2 AS (SELECT doc_id, {', '.join(score_exprs)} FROM scored)
+SELECT doc_id, {best} FROM s2
+"""
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "stopword_ratio", "quality"
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.brute_force_topk(emb, queries, k=5)
+
+
+_SQL_ANN_TOPK = """
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         ROUND(list_cosine_similarity(e.embedding, q.embedding), 5) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(e.embedding, q.embedding), 5)
+             DESC, e.vec_id ASC) AS rank
+  FROM embeddings e, embeddings q WHERE q.vec_id < 3)
+WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.lsh_topk(emb, queries, k=5)
+
+
+def q_embedding_pairs(spark, sf_dir):
+    return ann.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+_SQL_EMB_PAIRS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# extraction-pipeline queries (non-SQL-expressible: rows-only checks)
+
+
+def q_extract_transcripts(spark, sf_dir):
+    """The flagship: per-turn extraction over deterministic transcripts.
+    Validated per-turn against the reference in tests/; the oracle harness
+    records a rows-only check (no SQL can parse PDFs)."""
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+
+    df = spark.createDataFrame(transcripts_pandas(n_convs=30))
+    return extract_transcripts(df, sort_output=True)
+
+
+def q_extract_boxes(spark, sf_dir):
+    """Flattened layout relation (LTTextBox rows) for synthesized turns."""
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.spark.pipeline import extract_layout_tables
+
+    df = spark.createDataFrame(
+        transcripts_pandas(n_convs=10, use_reference_samples=False)
+    )
+    return extract_layout_tables(df)["boxes"]
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> stub decode -> features."""
+    from pdfminer_six_spark.ops.multimodal import extract_features, synth_media
+
+    return extract_features(synth_media(spark, 64))
+
+
+QUERIES: Dict[str, QuerySpec] = {
+    # relational mirrors
+    "pricing_summary": (q_pricing_summary, _SQL_PRICING),
+    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
+    "join_revenue_by_nation": (q_join_revenue_by_nation, _SQL_JOIN_REVENUE),
+    "broadcast_join_brand": (q_broadcast_join_brand, _SQL_BROADCAST_BRAND),
+    "semi_join_urgent": (q_semi_join, _SQL_SEMI),
+    "anti_join_no_orders": (q_anti_join, _SQL_ANTI),
+    "window_topn_per_customer": (q_window_topn_per_customer, _SQL_WINDOW_TOPN),
+    "sessionize_events": (q_sessionize_events, _SQL_SESSIONIZE),
+    "rollup_orders": (q_rollup_orders, _SQL_ROLLUP),
+    "topk_orders": (q_topk_orders, _SQL_TOPK),
+    "set_ops_brands": (q_set_ops, _SQL_SET_OPS),
+    "distinct_by_segment": (q_distinct_by_segment, _SQL_DISTINCT),
+    "string_funcs": (q_string_funcs, _SQL_STRING),
+    "monthly_orders": (q_monthly_orders, _SQL_MONTHLY),
+    "math_case": (q_math_case, _SQL_MATH),
+    "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
+    "json_props": (q_json_props, _SQL_JSON),
+    "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
+    "union_parties": (q_union_parties, _SQL_UNION),
+    # training-data ops
+    "dedup_exact": (q_exact_dups, _SQL_EXACT_DUPS),
+    "dedup_jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD),
+    "dedup_minhash_lsh": (q_minhash_lsh, _SQL_JACCARD),  # must equal exact
+    "dedup_simhash": (q_simhash_near_dups, None),
+    "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
+    "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    "text_language_id": (q_language_id, _lang_sql()),
+    "text_quality": (q_quality, None),
+    "ann_topk_cosine": (q_ann_topk, _SQL_ANN_TOPK),
+    "ann_lsh_topk": (q_ann_lsh, None),
+    "embedding_near_dups": (q_embedding_pairs, _SQL_EMB_PAIRS),
+    # extraction pipeline (rows-only)
+    "extract_transcripts": (q_extract_transcripts, None),
+    "extract_layout_boxes": (q_extract_boxes, None),
+    "media_features": (q_media_features, None),
+}

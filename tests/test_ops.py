@@ -1,0 +1,180 @@
+"""Tests for the training-data ops (dedup / textstats / ann / multimodal)."""
+
+import math
+
+import pandas as pd
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdfminer_six_spark.spark.session import build_session
+
+    s = build_session(app_name="ops-test", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_exact_duplicates_synthetic(spark):
+    from pdfminer_six_spark.ops.dedup import exact_duplicates
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["Hello  world", "hello world", "unique", "HELLO WORLD "],
+            }
+        )
+    )
+    out = exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_doc_id"] == 1
+    assert out[0]["n_docs"] == 3
+
+
+def test_minhash_lsh_recall_equals_exact(docs):
+    """At this banding the LSH candidates must cover every true pair."""
+    from pdfminer_six_spark.ops.dedup import jaccard_pairs, minhash_near_duplicates
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    assert exact, "fixture should contain near-dups"
+    assert lsh == exact
+
+
+def test_simhash_identical_docs(spark):
+    from pdfminer_six_spark.ops.dedup import simhash_near_duplicates
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",
+                    "completely different words entirely here now",
+                ],
+            }
+        )
+    )
+    pairs = simhash_near_duplicates(df, max_hamming=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert pairs[0]["hamming"] == 0
+
+
+def test_token_stats_against_python(docs):
+    from pdfminer_six_spark.ops.textstats import with_token_stats
+
+    sample = docs.limit(20).toPandas()
+    out = with_token_stats(
+        docs.limit(20)
+    ).select("doc_id", "n_tokens", "n_punct").toPandas().set_index("doc_id")
+    for row in sample.itertuples():
+        toks = [t for t in row.text.split() if t]
+        assert out.loc[row.doc_id, "n_tokens"] == len(toks)
+        assert out.loc[row.doc_id, "n_punct"] == sum(
+            row.text.count(c) for c in ".,;:!?"
+        )
+
+
+def test_language_id_deterministic(spark):
+    from pdfminer_six_spark.ops.textstats import language_id
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog of the house",
+                    "der Hund und die Katze ist nicht da",
+                    "le chat et les chiens est que pour",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r.pred_lang for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_ann_brute_force_vs_numpy(spark):
+    import numpy as np
+
+    from pdfminer_six_spark.ops.ann import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter("vec_id = 0").selectExpr(
+        "vec_id as query_id", "embedding as qvec"
+    )
+    got = brute_force_topk(emb, queries, k=5).collect()
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf.embedding.to_numpy())
+    q = mat[pdf.vec_id.to_numpy().tolist().index(0)]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        zip(np.round(cos, 5), -pdf.vec_id.to_numpy()), reverse=True
+    )[:5]
+    want_ids = {int(-v) for _, v in order}
+    assert {r.vec_id for r in got} == want_ids
+    assert [r.rank for r in sorted(got, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+
+
+def test_media_features_shapes(spark):
+    from pdfminer_six_spark.ops.multimodal import extract_features, synth_media
+
+    out = extract_features(synth_media(spark, 32)).toPandas()
+    assert len(out) == 32
+    decoded = out[out.kind.isin(["image", "audio", "video"])]
+    assert decoded.feature.map(lambda v: len(list(v)) == 8).all()
+    assert out[out.kind == "blob"].feature.map(lambda v: v is None).all()
+    assert (out[out.kind == "video"].frames_sampled == 4).all()
+    # determinism
+    out2 = extract_features(synth_media(spark, 32)).toPandas()
+    a = out.sort_values("media_id").feature.map(
+        lambda v: None if v is None else list(v)
+    ).tolist()
+    b = out2.sort_values("media_id").feature.map(
+        lambda v: None if v is None else list(v)
+    ).tolist()
+    assert a == b
+
+
+def test_streaming_extract_resume(spark, tmp_path):
+    """Streaming variant: incremental batches + checkpoint resume."""
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.spark.streaming import streaming_extract
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    all_rows = transcripts_pandas(n_convs=8)
+    half = len(all_rows) // 2
+    spark.createDataFrame(all_rows.iloc[:half]).write.mode("overwrite").parquet(
+        str(src / "batch1")
+    )
+    q = streaming_extract(spark, str(src) + "/*", str(out), str(ckpt))
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 == half
+    # new data arrives; restart picks up ONLY the new files
+    spark.createDataFrame(all_rows.iloc[half:]).write.mode("overwrite").parquet(
+        str(src / "batch2")
+    )
+    q2 = streaming_extract(spark, str(src) + "/*", str(out), str(ckpt))
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(str(out)).count()
+    assert n2 == len(all_rows)
