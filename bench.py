@@ -52,7 +52,7 @@ def main() -> None:
     turns_per_sec = round(n_turns / dt_extract, 1)
 
     # --- relational / ops suite at sf ---
-    suite = [
+    suite = [] if os.environ.get("BENCH_ONLY_EXTRACT") else [
         "pricing_summary",
         "join_revenue_by_nation",
         "sessionize_events",

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence for the north rule (N -> 4N cores).
+
+No real cluster exists in this sandbox, so per the driver instruction the
+same extraction job runs at two parallelism levels — local[8] and local[32]
+— on the IDENTICAL deterministic input, and we report throughput at both
+plus scaling efficiency = throughput(4N) / (4 × throughput(N)).
+
+Each level runs in its own subprocess (fresh JVM) so executor-thread count,
+shuffle partitions, and memory pools are truly per-level.
+
+Usage: python scripts/scaling_run.py [n_convs] -> prints JSON, updates
+BENCH_SCALING.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, n_convs: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_N_CONVS"] = str(n_convs)
+    env["BENCH_ONLY_EXTRACT"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1800,
+        check=True,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    lo, hi = 8, 32
+    r_lo = run_level(lo, n_convs)
+    r_hi = run_level(hi, n_convs)
+    tp_lo = r_lo["turns_per_sec"]
+    tp_hi = r_hi["turns_per_sec"]
+    efficiency = round(tp_hi / (tp_lo * (hi / lo)), 3)
+    result = {
+        "metric": "extraction scaling efficiency, local[8] -> local[32]",
+        "n_turns": r_lo["n_turns"],
+        "throughput_local8_turns_per_sec": tp_lo,
+        "throughput_local32_turns_per_sec": tp_hi,
+        "speedup_8_to_32": round(tp_hi / tp_lo, 3),
+        "scaling_efficiency": efficiency,
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
