@@ -327,7 +327,22 @@ def _chop3(seq):
     return zip(it, it, it)
 
 
+_TOUNICODE_CACHE: Dict[bytes, FileUnicodeMap] = {}
+
+
 def parse_tounicode(data: bytes) -> FileUnicodeMap:
+    """Parse a ToUnicode CMap stream.  Cached by content digest: the maps
+    are immutable pure data, and identical font programs recur constantly
+    across documents in a corpus (per-executor cache, like the reference's
+    CMapDB class caches but content-addressed so it is document-safe)."""
+    import hashlib
+
+    key = hashlib.sha1(data).digest()
+    cached = _TOUNICODE_CACHE.get(key)
+    if cached is not None:
+        return cached
     umap = FileUnicodeMap()
     CMapStreamParser(umap, data).run()
+    if len(_TOUNICODE_CACHE) < 4096:
+        _TOUNICODE_CACHE[key] = umap
     return umap

@@ -24,12 +24,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, n_convs: int) -> dict:
+    """Run the extraction bench at local[cpus], CPU-pinned to exactly that
+    many cores.  Without pinning, a local[8] JVM on a 32-core host spreads
+    its shuffle/Arrow/GC threads over the 24 idle cores — inflating the
+    small-cluster baseline and making 8->32 scaling look sub-linear.  With
+    taskset the run is a faithful stand-in for an N-core cluster node."""
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_N_CONVS"] = str(n_convs)
     env["BENCH_ONLY_EXTRACT"] = "1"
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        cmd,
         capture_output=True,
         text=True,
         env=env,
