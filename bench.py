@@ -40,16 +40,27 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: extraction throughput ---
-    transcripts = transcripts_df(spark, n_convs=n_convs).persist()
-    n_turns = transcripts.count()  # materialize input outside the timer
-    t0 = time.perf_counter()
-    extracted = extract_transcripts(transcripts)
-    stats = extracted.groupBy("status").count().collect()
-    dt_extract = time.perf_counter() - t0
-    timings["extract_transcripts"] = round(dt_extract, 3)
-    n_ok = sum(r["count"] for r in stats if r["status"] == "ok")
-    transcripts.unpersist()
-    turns_per_sec = round(n_turns / dt_extract, 1)
+    # stage the deterministic input as parquet (untimed), then time the
+    # scan -> extract -> aggregate pipeline, exactly like a corpus job
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="bench_transcripts_")
+    try:
+        transcripts_df(spark, n_convs=n_convs).write.mode("overwrite").parquet(
+            staging
+        )
+        transcripts = spark.read.parquet(staging)
+        n_turns = transcripts.count()
+        t0 = time.perf_counter()
+        extracted = extract_transcripts(transcripts)
+        stats = extracted.groupBy("status").count().collect()
+        dt_extract = time.perf_counter() - t0
+        timings["extract_transcripts"] = round(dt_extract, 3)
+        n_ok = sum(r["count"] for r in stats if r["status"] == "ok")
+        turns_per_sec = round(n_turns / dt_extract, 1)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
     # --- relational / ops suite at sf ---
     suite = [] if os.environ.get("BENCH_ONLY_EXTRACT") else [

@@ -105,17 +105,23 @@ _seq_counter = itertools.count(1)
 
 
 class LTItem:
+    __slots__ = ()
+
     def analyze(self, laparams: LAParams) -> None:
         pass
 
 
 class LTText:
+    __slots__ = ()
+
     def get_text(self) -> str:
         raise NotImplementedError
 
 
 class LTComponent(LTItem):
     """Anything with a bbox."""
+
+    __slots__ = ("seq", "x0", "y0", "x1", "y1", "width", "height", "bbox")
 
     def __init__(self, bbox: Rect) -> None:
         self.seq = next(_seq_counter)  # deterministic heap tiebreak
@@ -231,6 +237,11 @@ class LTAnno(LTItem, LTText):
 
 class LTChar(LTComponent, LTText):
     """A positioned glyph (reference layout.py:347-405)."""
+
+    __slots__ = (
+        "_text", "matrix", "fontname", "ncs", "graphicstate", "adv",
+        "upright", "size",
+    )
 
     def __init__(
         self,

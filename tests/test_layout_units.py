@@ -1,0 +1,143 @@
+"""Unit tests mirroring the reference's layout/converter/font-size suites
+(reference tests/test_layout.py, tests/test_converter.py:11-299,
+tests/test_font_size.py)."""
+
+import os
+
+import pytest
+
+from pdfminer_six_spark.core.device import LayoutDevice
+from pdfminer_six_spark.core.interp import GraphicState
+from pdfminer_six_spark.core.layout import (
+    LAParams,
+    LTChar,
+    LTCurve,
+    LTLine,
+    LTRect,
+    LTTextLineHorizontal,
+    Plane,
+)
+from tests.conftest import SAMPLES, reference_available
+
+
+def _paint(path, ctm=(1, 0, 0, 1, 0, 0)):
+    dev = LayoutDevice()
+    dev.set_ctm(ctm)
+
+    class Item:
+        def __init__(self):
+            self.added = []
+
+        def add(self, o):
+            self.added.append(o)
+
+    dev.cur_item = Item()
+    dev.paint_path(GraphicState(), False, False, False, path)
+    return dev.cur_item.added
+
+
+def test_paint_path_line():
+    (item,) = _paint([("m", 6, 7), ("l", 7, 7)])
+    assert isinstance(item, LTLine)
+
+
+def test_paint_path_rect():
+    # 're' expands to mlllh; closed square loop -> LTRect
+    (item,) = _paint(
+        [("m", 10, 90), ("l", 90, 90), ("l", 90, 10), ("l", 10, 10), ("h",)]
+    )
+    assert isinstance(item, LTRect)
+
+
+def test_paint_path_nonrect_quad():
+    (item,) = _paint(
+        [("m", 110, 90), ("l", 90, 10), ("l", 10, 10), ("l", 10, 90), ("h",)]
+    )
+    assert isinstance(item, LTCurve) and not isinstance(item, LTRect)
+
+
+def test_paint_path_multiple_subpaths():
+    items = _paint(
+        [("m", 6, 7), ("l", 7, 7), ("m", 60, 70), ("l", 70, 70)]
+    )
+    assert len(items) == 2
+    assert all(isinstance(i, LTLine) for i in items)
+
+
+def test_paint_path_bezier():
+    (item,) = _paint([("m", 0, 0), ("c", 1, 1, 2, 2, 3, 3)])
+    assert isinstance(item, LTCurve)
+
+
+def test_paint_path_closed_lh_dedup():
+    # trailing 'lh' returning to start is collapsed (reference
+    # converter.py:162-166) -> still an LTRect
+    (item,) = _paint(
+        [
+            ("m", 10, 90), ("l", 90, 90), ("l", 90, 10), ("l", 10, 10),
+            ("l", 10, 90), ("h",),
+        ]
+    )
+    assert isinstance(item, LTRect)
+
+
+@pytest.mark.skipif(not reference_available(), reason="corpus absent")
+def test_font_size_equals_rendered_digit():
+    """reference tests/test_font_size.py: each digit's LTChar.size equals
+    the font size it is rendered at."""
+    from pdfminer_six_spark.core.extract import extract_pages
+    from pdfminer_six_spark.core.layout import LTTextBox, LTTextLine
+
+    data = open(os.path.join(SAMPLES, "font-size-test.pdf"), "rb").read()
+    checked = 0
+    for page in extract_pages(data):
+        for box in page:
+            if not isinstance(box, LTTextBox):
+                continue
+            for line in box:
+                if not isinstance(line, LTTextLine):
+                    continue
+                label = line.get_text().strip()
+                if label.isdigit():
+                    for ch in line:
+                        if isinstance(ch, LTChar):
+                            assert round(ch.size) == int(label)
+                            checked += 1
+    assert checked > 10
+
+
+def _mkline(x0, y0, x1, y1):
+    line = LTTextLineHorizontal(0.1)
+    line.set_bbox((x0, y0, x1, y1))
+    return line
+
+
+def test_find_neighbors_alignment():
+    """reference tests/test_layout.py:36-112 semantics: same height and
+    left/right/center aligned within tolerance."""
+    plane = Plane((0, 0, 500, 500))
+    base = _mkline(100, 100, 200, 110)
+    aligned_left = _mkline(100, 112, 190, 122)
+    aligned_right = _mkline(110, 86, 200, 96)
+    wrong_height = _mkline(100, 124, 200, 164)
+    far_away = _mkline(100, 300, 200, 310)
+    not_aligned = _mkline(150, 86, 250, 96)
+    for ln in (base, aligned_left, aligned_right, wrong_height, far_away,
+               not_aligned):
+        plane.add(ln)
+    got = set(base.find_neighbors(plane, 0.5))
+    assert base in got and aligned_left in got and aligned_right in got
+    assert wrong_height not in got and far_away not in got
+    # 'not_aligned' is center-aligned? centers: base 150, other 200 -> no
+    assert not_aligned not in got
+
+
+def test_two_separated_boxes():
+    """reference tests/test_layout.py:17-32: lines far apart -> 2 boxes."""
+    from pdfminer_six_spark.core.layout import LTLayoutContainer
+
+    container = LTLayoutContainer((0, 0, 100, 100))
+    l1 = _mkline(10, 90, 90, 95)
+    l2 = _mkline(10, 10, 90, 15)
+    boxes = list(container.group_textlines(LAParams(), [l1, l2]))
+    assert len(boxes) == 2
