@@ -45,11 +45,13 @@ def main() -> None:
     import shutil
     import tempfile
 
-    staging = tempfile.mkdtemp(prefix="bench_transcripts_")
+    staged = os.environ.get("BENCH_STAGED_DIR")
+    staging = staged or tempfile.mkdtemp(prefix="bench_transcripts_")
     try:
-        transcripts_df(spark, n_convs=n_convs).write.mode("overwrite").parquet(
-            staging
-        )
+        if not (staged and os.path.exists(os.path.join(staging, "_SUCCESS"))):
+            transcripts_df(spark, n_convs=n_convs).write.mode(
+                "overwrite"
+            ).parquet(staging)
         transcripts = spark.read.parquet(staging)
         n_turns = transcripts.count()
         t0 = time.perf_counter()
@@ -60,7 +62,8 @@ def main() -> None:
         n_ok = sum(r["count"] for r in stats if r["status"] == "ok")
         turns_per_sec = round(n_turns / dt_extract, 1)
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        if not staged:
+            shutil.rmtree(staging, ignore_errors=True)
 
     # --- relational / ops suite at sf ---
     suite = [] if os.environ.get("BENCH_ONLY_EXTRACT") else [
