@@ -213,6 +213,21 @@ def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
 
         return list(extract_pages(payload, password=password))
 
+    def page_items_raw(payload: bytes):
+        """Unanalyzed pages: chars in content-stream emission order — the
+        exact input order of the L1 char->line operator."""
+        from pdfminer_six_spark.core.device import LayoutDevice
+        from pdfminer_six_spark.core.document import get_pages
+        from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
+
+        rsrcmgr = ResourceManager()
+        out = []
+        for page in get_pages(payload, password=password):
+            device = LayoutDevice(laparams=None)
+            Interpreter(rsrcmgr, device).process_page(page)
+            out.append(device.get_result())
+        return out
+
     def run_chars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdfminer_six_spark.core.layout import LTChar, LTContainer
 
@@ -224,7 +239,7 @@ def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
                 if tool != "pdf":
                     continue
                 try:
-                    pages = page_items(base64.b85decode(text))
+                    pages = page_items_raw(base64.b85decode(text))
                 except Exception:
                     continue
                 for pageno, page in enumerate(pages):
