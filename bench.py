@@ -76,7 +76,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "text_token_stats",
         "ann_topk_cosine",
-        "embedding_near_dups",
+        "embedding_near_dups_blocked",
     ]
     for name in suite:
         fn, _sql = QUERIES[name]

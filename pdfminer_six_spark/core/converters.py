@@ -182,3 +182,89 @@ def pages_to_hocr(pages: List[LTPage]) -> str:
         + body
         + "</body></html>\n"
     )
+
+
+class TagExtractor:
+    """Marked-content tag sink (SURVEY.md §2.1 S10; reference
+    pdfdevice.py:255-327): emits the structure-tag stream with page
+    wrappers and decoded text, no layout analysis."""
+
+    def __init__(self) -> None:
+        self.ctm = None
+        self.pageno = 0
+        self._stack: List[str] = []
+        self.parts: List[str] = []
+
+    def set_ctm(self, ctm) -> None:
+        self.ctm = ctm
+
+    def _w(self, s: str) -> None:
+        self.parts.append(s)
+
+    def begin_page(self, page, ctm) -> None:
+        x0, y0, x1, y1 = page.mediabox
+        self._w(
+            f'<page id="{self.pageno}" '
+            f'bbox="{x0:.3f},{y0:.3f},{x1:.3f},{y1:.3f}" '
+            f'rotate="{page.rotate}">'
+        )
+
+    def end_page(self, page) -> None:
+        self._w("</page>\n")
+        self.pageno += 1
+
+    def begin_figure(self, name, bbox, matrix) -> None: ...
+    def end_figure(self, name) -> None: ...
+    def paint_path(self, *a) -> None: ...
+    def render_image(self, name, stream) -> None: ...
+
+    def render_string(self, textstate, seq, ncs, graphicstate) -> None:
+        from pdfminer_six_spark.core.fonts import UnicodeNotDefined
+
+        font = textstate.font
+        if font is None:
+            return
+        text = ""
+        for obj in seq:
+            if not isinstance(obj, bytes):
+                continue
+            for cid in font.decode(obj):
+                try:
+                    text += font.to_unichr(cid)
+                except UnicodeNotDefined:
+                    pass
+        self._w(_esc(text))
+
+    def begin_tag(self, tag, props=None) -> None:
+        attrs = ""
+        if isinstance(props, dict):
+            attrs = "".join(
+                f' {_esc(str(k))}="{_esc(str(v))}"'
+                for k, v in sorted(props.items())
+            )
+        self._w(f"<{_esc(str(tag.name))}{attrs}>")
+        self._stack.append(str(tag.name))
+
+    def end_tag(self) -> None:
+        if self._stack:
+            self._w(f"</{_esc(self._stack.pop())}>")
+
+    def do_tag(self, tag, props=None) -> None:
+        self.begin_tag(tag, props)
+        if self._stack:
+            self._stack.pop()
+
+    def get_output(self) -> str:
+        return "".join(self.parts)
+
+
+def extract_tags(data: bytes, password: str = "") -> str:
+    """Tag-stream extraction over a whole document."""
+    from pdfminer_six_spark.core.document import get_pages
+    from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
+
+    device = TagExtractor()
+    interp = Interpreter(ResourceManager(), device)
+    for page in get_pages(data, password=password):
+        interp.process_page(page)
+    return device.get_output()

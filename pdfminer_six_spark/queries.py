@@ -638,6 +638,13 @@ def q_embedding_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_pairs_blocked(spark, sf_dir):
+    """numpy-matmul scale path; identical output to the exact query."""
+    return ann.embedding_near_duplicates_blocked(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 _SQL_EMB_PAIRS = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) AS cos
@@ -712,6 +719,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "ann_topk_cosine": (q_ann_topk, _SQL_ANN_TOPK),
     "ann_lsh_topk": (q_ann_lsh, None),
     "embedding_near_dups": (q_embedding_pairs, _SQL_EMB_PAIRS),
+    "embedding_near_dups_blocked": (q_embedding_pairs_blocked, _SQL_EMB_PAIRS),
     # extraction pipeline (rows-only)
     "extract_transcripts": (q_extract_transcripts, None),
     "extract_layout_boxes": (q_extract_boxes, None),

@@ -178,3 +178,36 @@ def test_streaming_extract_resume(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(str(out)).count()
     assert n2 == len(all_rows)
+
+
+def test_blocked_embedding_pairs_equal_exact(spark):
+    from pdfminer_six_spark.ops.ann import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_blocked,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embedding_near_duplicates(emb, 0.4).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embedding_near_duplicates_blocked(emb, 0.4).collect()
+    }
+    assert exact == blocked and len(exact) > 0
+
+
+def test_tag_extractor():
+    import os
+
+    from pdfminer_six_spark.core.converters import extract_tags
+    from tests.conftest import SAMPLES, reference_available
+
+    if not reference_available():
+        pytest.skip("corpus absent")
+    out = extract_tags(
+        open(os.path.join(SAMPLES, "simple1.pdf"), "rb").read()
+    )
+    assert out.startswith('<page id="0"') and out.rstrip().endswith("</page>")
+    assert "Hello" in out
