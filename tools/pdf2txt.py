@@ -59,16 +59,21 @@ def main() -> None:
         {int(x) - 1 for x in args.pagenos.split(",")} if args.pagenos else None
     )
     out = open(args.outfile, "w", encoding="utf-8") if args.outfile else sys.stdout
+    from pdfminer_six_spark.core.crypto import EncryptionError
+
     for path in args.files:
         with open(path, "rb") as f:
             data = f.read()
         if args.output_type == "text":
-            out.write(
-                extract_text(
+            try:
+                text = extract_text(
                     data, password=args.password, page_numbers=pagenos,
                     maxpages=args.maxpages, laparams=laparams,
                 )
-            )
+            except EncryptionError as e:
+                sys.stderr.write(f"pdf2txt: {path}: {e}\n")
+                sys.exit(1)
+            out.write(text)
             continue
         pages = list(
             extract_pages(
