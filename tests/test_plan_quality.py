@@ -1,0 +1,79 @@
+"""Plan-quality assertions: the declarative queries must compile to the
+physical plans we designed for — filters and projections pushed into the
+parquet scan, small dims broadcast, no stray shuffles in the extraction
+hot path."""
+
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdfminer_six_spark.spark.session import build_session
+
+    s = build_session(app_name="plan-test", master="local[4]",
+                      shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pdfminer_six_spark.queries import QUERIES
+
+    fn, _ = QUERIES["filter_project"]
+    df = fn(spark, SF_DIR)
+    explained = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [" in explained
+    assert "l_discount" in explained.split("PushedFilters")[1][:200]
+    # column pruning: the scan reads only the needed columns
+    read_schema = explained.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_shipdate" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark):
+    from pdfminer_six_spark.queries import QUERIES
+
+    fn, _ = QUERIES["broadcast_join_brand"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT shuffle for the join itself
+    assert "SortMergeJoin" not in plan
+
+
+def test_extraction_pipeline_has_no_shuffle(spark):
+    """The hot path is row-local: scan -> mapInPandas, zero exchanges."""
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+
+    df = spark.createDataFrame(transcripts_pandas(n_convs=5))
+    extracted = extract_transcripts(df)  # no rebalance, no sort
+    plan = _plan(extracted)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    from pdfminer_six_spark.queries import QUERIES
+
+    fn, _ = QUERIES["topk_orders"]
+    plan = _plan(fn(spark, SF_DIR))
+    # ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partial_aggregation_in_agg(spark):
+    from pdfminer_six_spark.queries import QUERIES
+
+    fn, _ = QUERIES["pricing_summary"]
+    plan = _plan(fn(spark, SF_DIR))
+    # map-side combine: partial_sum before the exchange, final after
+    assert "partial_sum" in plan
+    assert "HashAggregate" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # partial below
