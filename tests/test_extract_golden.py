@@ -79,7 +79,7 @@ def test_line_margin_sweep():
 
 @pytest.mark.skipif(not reference_available(), reason="reference absent")
 @pytest.mark.parametrize(
-    "subdir", ["", "contrib", "acroform", "scancode", "encryption"]
+    "subdir", ["", "contrib", "acroform", "scancode", "encryption", "nonfree"]
 )
 def test_differential_full_corpus(subdir):
     """Byte-for-byte equality with the reference on every sample PDF."""
