@@ -116,3 +116,22 @@ def test_lineage_metrics(spark, transcripts_pdf):
     m = lineage_metrics(extract_transcripts(df)).toPandas()
     assert m.n_turns.sum() == len(transcripts_pdf)
     assert (m.n_error == 0).all()
+
+
+def test_skewed_conversation_salting(spark):
+    """A pathologically long conversation must spread across partitions
+    under salted_repartition and extract cleanly (north-rule skew story)."""
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.spark.pipeline import (
+        extract_transcripts,
+        salted_repartition,
+    )
+
+    pdf = transcripts_pandas(n_convs=6, skew_convs=1, skew_turns=400)
+    df = spark.createDataFrame(pdf)
+    parts = salted_repartition(df, 8).rdd.glom().map(len).collect()
+    assert len(parts) == 8
+    assert max(parts) < 400  # the 400-turn conv did NOT land in one task
+    out = extract_transcripts(df, rebalance_partitions=8)
+    assert out.count() == len(pdf)
+    assert {r["status"] for r in out.select("status").distinct().collect()} == {"ok"}
