@@ -166,6 +166,7 @@ class Lexer:
 
     def _scan_name(self, pos: int) -> Tuple[Any, int]:
         data = self.data
+        n = len(data)
         parts: List[bytes] = []
         while True:
             m = _NAME_RUN.match(data, pos)
@@ -180,6 +181,11 @@ class Lexer:
                 pos = h.end()
             else:
                 pos += 1  # bare '#' is dropped, name continues
+            if pos >= n:
+                # EOF directly after a '#' escape: the reference's one-shot
+                # EOF flush exits the hex sub-state without emitting, so the
+                # whole name token is lost (psparser.py:337-345 + :489-503)
+                raise LexEOF("EOF in name hex escape")
         raw = b"".join(parts)
         try:
             name: Any = raw.decode("utf-8")
@@ -242,8 +248,9 @@ class Lexer:
             pair = body[i : i + 2]
             out.append(int(pair, 16))
             i += 2
-        if data[pos : pos + 1] == b">":
-            pos += 1
+        # the stop char (usually '>') is NOT consumed: the reference leaves
+        # it for the dispatcher, so '<..>>' yields the hex string AND '>>'
+        # (psparser.py:467-480 returns at j; wclose handles the '>')
         return (bytes(out), pos)
 
 

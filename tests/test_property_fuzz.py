@@ -1,0 +1,117 @@
+"""Property-based differential tests (hypothesis): random inputs through
+our engine and the reference must agree — the same strategy as the
+reference's fuzzing suite (reference fuzzing/*.py), but differential."""
+
+import pytest
+
+from tests.conftest import reference_available
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference absent"
+)
+
+
+def _ref_tokens(data: bytes):
+    from io import BytesIO
+
+    from pdfminer.psexceptions import PSEOF
+    from pdfminer.psparser import PSBaseParser, PSKeyword, PSLiteral
+
+    p = PSBaseParser(BytesIO(data))
+    out = []
+    while True:
+        try:
+            pos, tok = p.nexttoken()
+        except PSEOF:
+            return out
+        if isinstance(tok, PSLiteral):
+            out.append((pos, "lit", tok.name))
+        elif isinstance(tok, PSKeyword):
+            out.append((pos, "kwd", tok.name))
+        else:
+            out.append((pos, "val", tok))
+
+
+def _our_tokens(data: bytes):
+    from pdfminer_six_spark.core.lexer import Lexer
+    from pdfminer_six_spark.core.objects import Keyword, Name
+
+    out = []
+    for pos, tok in Lexer(data):
+        if isinstance(tok, Name):
+            out.append((pos, "lit", tok.name))
+        elif isinstance(tok, Keyword):
+            out.append((pos, "kwd", tok.name))
+        else:
+            out.append((pos, "val", tok))
+    return out
+
+
+@settings(max_examples=300, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=200))
+def test_lexer_differential_fuzz(data):
+    import logging
+
+    logging.disable(logging.ERROR)
+    from tests.conftest import import_reference
+
+    import_reference()
+    try:
+        want = _ref_tokens(data)
+    except Exception:
+        return  # reference crashed; nothing to compare (we must not crash)
+    got = _our_tokens(data)
+    assert got == want, data
+
+
+# printable-ish text lines for synthetic PDFs
+_line = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.lists(_line, min_size=1, max_size=6), min_size=1, max_size=3),
+       st.booleans())
+def test_synth_pdf_end_to_end_differential(pages, compress):
+    """Random synthetic PDFs: extract_text equality with the reference."""
+    import logging
+
+    logging.disable(logging.ERROR)
+    from io import BytesIO
+
+    from tests.conftest import import_reference
+
+    import_reference()
+    from pdfminer.high_level import extract_text as ref_extract
+
+    from pdfminer_six_spark.core.extract import extract_text as our_extract
+    from pdfminer_six_spark.datagen.transcripts import synth_pdf
+
+    pdf = synth_pdf(pages, compress=compress)
+    assert our_extract(pdf) == ref_extract(BytesIO(pdf))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_extract_never_crashes_on_garbage(data):
+    """Crash-safety (reference fuzzing/extract_text_fuzzer.py): arbitrary
+    bytes must raise a controlled ParseError family, never segfault/hang."""
+    from pdfminer_six_spark.core.extract import extract_text
+    from pdfminer_six_spark.core.objects import PDFError
+
+    try:
+        extract_text(b"%PDF-1.4\n" + data)
+    except PDFError:
+        pass
+    except (RecursionError, ValueError, KeyError, TypeError, AttributeError):
+        # the reference also lets assorted exceptions escape on garbage;
+        # the Spark pipeline catches everything into status='error'
+        pass
