@@ -115,3 +115,76 @@ def test_extract_never_crashes_on_garbage(data):
         # the reference also lets assorted exceptions escape on garbage;
         # the Spark pipeline catches everything into status='error'
         pass
+
+
+def _has_box_dist_ties(pdf_bytes: bytes) -> bool:
+    """True if any page has tied pairwise box distances — there the
+    reference's id()-based heap tiebreak is allocator-dependent (its own
+    output varies run-to-run), so any tie order is a valid answer."""
+    import collections
+
+    from pdfminer_six_spark.core.device import LayoutDevice
+    from pdfminer_six_spark.core.document import get_pages
+    from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
+    from pdfminer_six_spark.core.layout import LAParams, LTChar
+
+    for page in get_pages(pdf_bytes):
+        dev = LayoutDevice(laparams=None)
+        Interpreter(ResourceManager(), dev).process_page(page)
+        lt = dev.get_result()
+        la = LAParams()
+        textobjs = [o for o in lt._objs if isinstance(o, LTChar)]
+        if not textobjs:
+            continue
+        lines = [ln for ln in lt.group_objects(la, textobjs) if not ln.is_empty()]
+        boxes = list(lt.group_textlines(la, lines))
+        dists = []
+        for i, b1 in enumerate(boxes):
+            for b2 in boxes[i + 1 :]:
+                x0, y0 = min(b1.x0, b2.x0), min(b1.y0, b2.y0)
+                x1, y1 = max(b1.x1, b2.x1), max(b1.y1, b2.y1)
+                dists.append(
+                    round(
+                        (x1 - x0) * (y1 - y0)
+                        - b1.width * b1.height
+                        - b2.width * b2.height,
+                        9,
+                    )
+                )
+        if any(n > 1 for n in __import__("collections").Counter(dists).values()):
+            return True
+    return False
+
+
+def test_rich_pdf_interpreter_fuzz():
+    """Randomized multi-operator PDFs (TJ kerning, Tm/TD/Tz/Ts, rotation,
+    colors, paths, multiple fonts): extract_text equality with the
+    reference, except where tied box distances make ordering ambiguous
+    (the reference itself is unstable there)."""
+    import logging
+
+    logging.disable(logging.ERROR)
+    from io import BytesIO
+
+    from tests.conftest import import_reference
+
+    import_reference()
+    from pdfminer.high_level import extract_text as ref_extract
+
+    from pdfminer_six_spark.core.extract import extract_text as our_extract
+    from pdfminer_six_spark.datagen.transcripts import synth_rich_pdf
+
+    mismatch_without_ties = []
+    checked = 0
+    for seed in range(150):
+        pdf = synth_rich_pdf(seed)
+        try:
+            want = ref_extract(BytesIO(pdf))
+        except Exception:
+            continue
+        got = our_extract(pdf)
+        checked += 1
+        if got != want and not _has_box_dist_ties(pdf):
+            mismatch_without_ties.append(seed)
+    assert checked > 100
+    assert mismatch_without_ties == []
