@@ -93,20 +93,24 @@ class _MainContentParser(HTMLParser):
             self.cur.texts.append(data)
 
 
+_BLOCK_BREAK = "\x00"
+
+
 def _collect_text(node: _Node, out: List[str]) -> None:
     out.extend(node.texts)
     for child in node.children:
         if child.tag in _BLOCK:
-            out.append("\n")
+            out.append(_BLOCK_BREAK)
         _collect_text(child, out)
 
 
 def _node_text(node: _Node) -> str:
     parts: List[str] = []
     _collect_text(node, parts)
-    # normalize: collapse intra-line whitespace, drop blank lines
+    # per HTML whitespace rules, newlines inside text are just whitespace;
+    # only block-element boundaries become line breaks
     lines = []
-    for raw_line in "".join(parts).split("\n"):
+    for raw_line in "".join(parts).split(_BLOCK_BREAK):
         line = " ".join(raw_line.split())
         if line:
             lines.append(line)

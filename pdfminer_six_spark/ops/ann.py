@@ -206,3 +206,64 @@ def embedding_near_duplicates_blocked(
             )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    corpus; each query scores only the ``n_probe`` nearest cells.
+
+    The quantizer trains with pyspark.ml KMeans (seeded — deterministic
+    plan); assignment is one JVM-side transform; the probe step is an
+    equi-join on cluster id, so the scored candidate set shrinks by
+    ~n_probe/n_clusters — the classic recall/throughput dial at 10^9 rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F  # noqa: N812
+
+    emb_v = embeddings.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(emb_v)
+    assigned = model.transform(emb_v).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+    centers = model.clusterCenters()
+
+    # rank cells per query by centroid distance, keep n_probe
+    q_rows = queries.collect()
+    probe_pairs = []
+    for row in q_rows:
+        qv = list(row.qvec)
+        dists = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(qv, c)), ci)
+                for ci, c in enumerate(centers)
+            )
+        )
+        for _d, ci in dists[:n_probe]:
+            probe_pairs.append((row.query_id, int(ci), qv))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_pairs, ["query_id", "cell", "qvec"]
+    ).withColumn("qvec", F.col("qvec").cast("array<float>"))
+
+    joined = assigned.join(F.broadcast(probes), on="cell")
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 5).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -624,6 +624,14 @@ WHERE rank <= 5
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.ivf_topk(emb, queries, k=5, n_clusters=8, n_probe=4)
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -718,6 +726,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "text_quality": (q_quality, None),
     "ann_topk_cosine": (q_ann_topk, _SQL_ANN_TOPK),
     "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_ivf_topk": (q_ann_ivf, None),
     "embedding_near_dups": (q_embedding_pairs, _SQL_EMB_PAIRS),
     "embedding_near_dups_blocked": (q_embedding_pairs_blocked, _SQL_EMB_PAIRS),
     # extraction pipeline (rows-only)

@@ -211,3 +211,22 @@ def test_tag_extractor():
     )
     assert out.startswith('<page id="0"') and out.rstrip().endswith("</page>")
     assert "Hello" in out
+
+
+def test_ivf_topk_recall(spark):
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.ops.ann import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, q, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    assert len(ivf) == len(exact)
+    # approximate by design: require decent recall, deterministic via seed
+    assert len(exact & ivf) / len(exact) >= 0.6
