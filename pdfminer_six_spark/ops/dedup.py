@@ -65,8 +65,17 @@ def jaccard_pairs(
 
     The shingle equi-join computes |A∩B| with a shuffle on shingle — at
     scale, shingle frequency skew is capped by dropping ubiquitous shingles
-    (document-frequency cut), keeping join fan-out bounded."""
-    sh = shingles(df, text_col, n).cache()
+    (document-frequency cut), keeping join fan-out bounded.
+
+    Shingles are xxhash64'd before the join: the shuffle moves 8-byte longs
+    instead of strings, and the join keys compare in one instruction.  A
+    64-bit collision would need ~2^32 distinct shingles per corpus slice to
+    become likely; counts are otherwise identical to the string join."""
+    sh = (
+        shingles(df, text_col, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -165,11 +174,54 @@ def minhash_lsh_candidates(
 def minhash_near_duplicates(
     df: DataFrame, threshold: float = 0.6, num_hashes: int = 16, bands: int = 8
 ) -> DataFrame:
-    """Scale-path near-dup: LSH candidates verified by exact Jaccard.
+    """Scale-path near-dup: LSH candidates verified by exact Jaccard,
+    computed ONLY for the candidate pairs (the whole point of banding:
+    verification cost ∝ candidates, not ∝ all co-occurring pairs).
     Equals jaccard_pairs when LSH recall is 1 (verified in tests)."""
     cand = minhash_lsh_candidates(df, num_hashes, bands)
-    exact = jaccard_pairs(df, threshold)
-    return cand.join(exact, on=["doc_a", "doc_b"], how="inner")
+    sh = (
+        shingles(df)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
+    scored = (
+        cand.join(
+            sh_sets.select(F.col("doc_id").alias("doc_a"),
+                           F.col("sset").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            sh_sets.select(F.col("doc_id").alias("doc_b"),
+                           F.col("sset").alias("set_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("set_a", "set_b"))
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return scored
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
