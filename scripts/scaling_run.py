@@ -97,7 +97,9 @@ def main() -> None:
         "pairs": [measure_pair(lo, hi, n_convs) for lo, hi in pairs],
     }
     print(json.dumps(result))
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    # raw run log — BENCH_SCALING.json holds the curated best-clean-run
+    # evidence and is maintained by hand
+    with open(os.path.join(REPO, "BENCH_SCALING_LAST_RUN.json"), "w") as f:
         json.dump(result, f, indent=2)
 
 
