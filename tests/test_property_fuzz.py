@@ -188,3 +188,25 @@ def test_rich_pdf_interpreter_fuzz():
             mismatch_without_ties.append(seed)
     assert checked > 100
     assert mismatch_without_ties == []
+
+
+def test_cid_pdf_fuzz():
+    """Randomized Type0/CID PDFs (Identity-H/V, 2-byte codes, embedded
+    ToUnicode, /W runs, vertical metrics): byte-equality with the
+    reference on every document."""
+    import logging
+
+    logging.disable(logging.ERROR)
+    from io import BytesIO
+
+    from tests.conftest import import_reference
+
+    import_reference()
+    from pdfminer.high_level import extract_text as ref_extract
+
+    from pdfminer_six_spark.core.extract import extract_text as our_extract
+    from pdfminer_six_spark.datagen.transcripts import synth_cid_pdf
+
+    for seed in range(80):
+        pdf = synth_cid_pdf(seed)
+        assert our_extract(pdf) == ref_extract(BytesIO(pdf)), seed
