@@ -137,9 +137,17 @@ def lzwdecode(data: bytes) -> bytes:
 
 
 def ccittfaxdecode(data: bytes, params: dict) -> bytes:
-    """CCITT G3/G4 is image-pixel data; text extraction never needs it.
-    We surface the raw bytes (metadata-only image handling)."""
-    return data
+    """CCITT fax is image-pixel data; the text path never touches it, but
+    image export (core/image.py) does.  K=-1 (G4) is decoded for real
+    (core/ccitt.py, differentially fuzzed against the reference); other K
+    values degrade to raw pass-through where the reference raises
+    mid-get_data (ccitt.py:556-568)."""
+    from pdfminer_six_spark.core.ccitt import CCITTDecodeError, ccitt_fax_decode
+
+    try:
+        return ccitt_fax_decode(data, params)
+    except CCITTDecodeError:
+        return data
 
 
 _FILTER_FNS = {

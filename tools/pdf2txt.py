@@ -43,6 +43,8 @@ def main() -> None:
                     help="float in [-1,1], or 'disabled'")
     ap.add_argument("-V", "--detect-vertical", action="store_true")
     ap.add_argument("-A", "--all-texts", action="store_true")
+    ap.add_argument("--output-dir", default=None,
+                    help="export embedded images into this directory")
     args = ap.parse_args()
 
     boxes_flow = None if args.boxes_flow == "disabled" else float(args.boxes_flow)
@@ -61,9 +63,29 @@ def main() -> None:
     out = open(args.outfile, "w", encoding="utf-8") if args.outfile else sys.stdout
     from pdfminer_six_spark.core.crypto import EncryptionError
 
+    imagewriter = None
+    if args.output_dir:
+        from pdfminer_six_spark.core.image import ImageWriter
+        from pdfminer_six_spark.core.layout import LTContainer, LTImage
+
+        imagewriter = ImageWriter(args.output_dir)
+
+        def export_images(item) -> None:
+            if isinstance(item, LTImage):
+                imagewriter.export_image(item)
+            elif isinstance(item, LTContainer):
+                for child in item:
+                    export_images(child)
+
     for path in args.files:
         with open(path, "rb") as f:
             data = f.read()
+        if imagewriter is not None:
+            for page in extract_pages(
+                data, password=args.password, page_numbers=pagenos,
+                maxpages=args.maxpages, laparams=laparams,
+            ):
+                export_images(page)
         if args.output_type == "text":
             try:
                 text = extract_text(
