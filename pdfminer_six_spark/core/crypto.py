@@ -73,6 +73,22 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return enc.update(data) + enc.finalize()
 
 
+def _unpad_aes(plaintext: bytes) -> bytes:
+    """Strip the PDF 1.7 §7.6.2 block pad (16 - M mod 16 bytes, each equal
+    to the pad length) from decrypted object data; tolerate absent/invalid
+    padding by returning the data unchanged (reference utils.py:858-878,
+    issue 1122).  Only per-object decrypts unpad — key-derivation CBC
+    passes (OE/UE) use the raw block output."""
+    if not plaintext:
+        return plaintext
+    pad = plaintext[-1]
+    if 0 < pad <= 16 and pad <= len(plaintext) and all(
+        b == pad for b in plaintext[-pad:]
+    ):
+        return plaintext[:-pad]
+    return plaintext
+
+
 class SecurityHandler:
     """Revisions 2/3: RC4 with MD5 key derivation (V 1/2)."""
 
@@ -184,7 +200,7 @@ class SecurityHandler:
         objkey = hashlib.md5(key).digest()[: min(len(key) - 4, 16)]
         if len(data) < 16:
             return b""
-        return aes_cbc_decrypt(objkey, data[:16], data[16:])
+        return _unpad_aes(aes_cbc_decrypt(objkey, data[:16], data[16:]))
 
     def decrypt_identity(self, objid: int, genno: int, data: bytes) -> bytes:
         return data
@@ -280,7 +296,7 @@ class SecurityHandlerV5(SecurityHandlerV4):
     def decrypt_aes256(self, objid: int, genno: int, data: bytes) -> bytes:
         if len(data) < 16:
             return b""
-        return aes_cbc_decrypt(self.key, data[:16], data[16:])
+        return _unpad_aes(aes_cbc_decrypt(self.key, data[:16], data[16:]))
 
 
 _HANDLERS = {

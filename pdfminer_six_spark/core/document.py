@@ -45,6 +45,8 @@ LITERAL_PAGES = LIT("Pages")
 _KW_TRAILER = KWD(b"trailer")
 _KW_XREF = KWD(b"xref")
 _KW_OBJ = KWD(b"obj")
+_KW_OBJ_R = KWD(b"R")
+_KW_ENDOBJ_S = KWD(b"endobj")
 
 
 class NoValidXRef(ParseError):
@@ -53,10 +55,30 @@ class NoValidXRef(ParseError):
 
 class EagerObjectParser(ObjectParser):
     """Object parser that flushes results eagerly — used for ObjStm content,
-    which is a flat sequence of objects with no obj/endobj brackets."""
+    which is a flat sequence of objects with no obj/endobj brackets.
+
+    Keyword semantics mirror the reference's stream parser
+    (pdfparser.py:155-173): only ``R`` assembles; ``obj``/``endobj`` are
+    dropped; every other keyword — including ``null``, which the top-level
+    parser maps to None — stays on the stack as a Keyword token, so object
+    graphs inside ObjStm dump identically to the reference."""
 
     def flush(self) -> None:
         self.add_results(*self.popall())
+
+    def do_keyword(self, pos: int, token) -> None:
+        from pdfminer_six_spark.core.objects import ObjRef
+
+        if token is _KW_OBJ_R:
+            if len(self.stack) >= 2:
+                ((_, objid_raw), _) = self.pop(2)
+                objid = safe_int(objid_raw)
+                if objid is not None:
+                    self.push((pos, ObjRef(self.doc, objid)))
+            return
+        if token is _KW_OBJ or token is _KW_ENDOBJ_S:
+            return
+        self.push((pos, token))
 
 
 class XRefTable:

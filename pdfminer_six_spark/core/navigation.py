@@ -65,7 +65,8 @@ def get_outlines(doc: Document) -> Iterator[Tuple[int, Any, Any, Any, Any]]:
 
     outlines = dict_value(doc.catalog["Outlines"])
     if "First" in outlines:
-        yield from walk(outlines["First"], 1, set())
+        return walk(outlines["First"], 1, set())
+    return iter(())
 
 
 class NumberTree:

@@ -227,7 +227,13 @@ class ObjectParser(StackParser):
             objlen += len(line)
             if self.fallback:
                 data += line
-        self.lexer.seek(data_start + objlen)
+        pos_after = data_start + objlen
+        # the reference's carve repositions via PSStackParser.seek, which
+        # RESETS stack/frames/results (psparser.py:527-535) — that discard
+        # is what lets it recover cleanly from glued "endobjNN 0 obj"
+        # garbage between objects (e.g. samples/simple5.pdf), so mirror it
+        self.reset()
+        self.lexer.seek(pos_after)
         decipher = self.doc.decipher if self.doc is not None else None
         self.push((data_start, StreamObject(dic, bytes(data), decipher)))
 
