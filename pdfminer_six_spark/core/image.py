@@ -92,6 +92,40 @@ def _cs_names(image: LTImage) -> set:
     return names
 
 
+def export_image_bytes(image: LTImage) -> Tuple[str, bytes]:
+    """In-memory variant of ImageWriter.export_image: same format dispatch
+    (image.py:106-144 in the reference), returning ``(ext, payload)``
+    instead of writing a file.  Paths that would need Pillow re-encoding
+    fall back to the undecoded stream bytes.  Used by the distributed
+    image-extraction operator (spark/sources.py), where workers must not
+    write local files."""
+    width, height = image.srcsize
+    filters = image.stream.get_filters()
+    if filters and filters[-1][0] in _DCT:
+        return ".jpg", image.stream.get_data()
+    if filters and filters[-1][0] in _JPX:
+        return ".jp2", image.stream.get_data()
+    if filters and any(f in _JBIG2 for f, _ in filters):
+        globals_data = b""
+        for fname, params in filters:
+            if fname in _JBIG2:
+                g = resolve1(params.get("JBIG2Globals"))
+                if g is not None:
+                    globals_data = g.get_data()
+        return ".jb2", _jbig2.embedded_to_file(image.stream.get_data(), globals_data)
+    if filters and image.bits == 1:
+        data = image.stream.get_data()[: ((width + 7) // 8) * height]
+        return ".bmp", bmp_bytes(1, width, height, data)
+    if filters and image.bits == 8 and _cs_names(image) & _RGB_NAMES:
+        data = image.stream.get_data()[: width * 3 * height]
+        return ".bmp", bmp_bytes(24, width, height, data)
+    if filters and image.bits == 8 and _cs_names(image) & _GRAY_NAMES:
+        data = image.stream.get_data()[: width * height]
+        return ".bmp", bmp_bytes(8, width, height, data)
+    ext = f".{image.bits}.{width}x{height}.img"
+    return ext, image.stream.get_data()
+
+
 class ImageWriter:
     """Save LTImage objects under ``outdir``; returns the file name used.
 

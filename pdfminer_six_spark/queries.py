@@ -687,6 +687,26 @@ def q_extract_boxes(spark, sf_dir):
     return extract_layout_tables(df)["boxes"]
 
 
+def q_extract_images(spark, sf_dir):
+    """Embedded-image extraction over a PDF corpus (binaryFile scan ->
+    mapInPandas decode -> metadata + content-hash rows; payload bytes
+    never shuffle).  Exercises the CCITT G4 decoder, the JBIG2 standalone
+    wrap, and the BMP assembly — each byte-checked against the reference's
+    exports in tests/test_image_export.py."""
+    from pdfminer_six_spark.spark.sources import (
+        extract_images_corpus,
+        read_pdf_corpus,
+    )
+
+    corpus = read_pdf_corpus(spark, "/root/reference/samples/contrib").unionByName(
+        read_pdf_corpus(spark, "/root/reference/samples/nonfree")
+    ).unionByName(read_pdf_corpus(spark, "/root/reference/samples/encryption"))
+    return (
+        extract_images_corpus(corpus)
+        .orderBy("path", "page", "name", "sha256")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> stub decode -> features."""
     from pdfminer_six_spark.ops.multimodal import extract_features, synth_media
@@ -732,5 +752,6 @@ QUERIES: Dict[str, QuerySpec] = {
     # extraction pipeline (rows-only)
     "extract_transcripts": (q_extract_transcripts, None),
     "extract_layout_boxes": (q_extract_boxes, None),
+    "extract_images": (q_extract_images, None),
     "media_features": (q_media_features, None),
 }

@@ -135,3 +135,27 @@ def test_skewed_conversation_salting(spark):
     out = extract_transcripts(df, rebalance_partitions=8)
     assert out.count() == len(pdf)
     assert {r["status"] for r in out.select("status").distinct().collect()} == {"ok"}
+
+
+def test_extract_images_corpus(spark):
+    """Distributed image extraction: binaryFile scan -> mapInPandas ->
+    metadata + content-hash rows; the JBIG2 payload hash must equal the
+    reference's committed golden export (XIPLAYER0.jb2)."""
+    import hashlib
+
+    from pdfminer_six_spark.spark.sources import (
+        extract_images_corpus,
+        read_pdf_corpus,
+    )
+
+    corpus = read_pdf_corpus(spark, "/root/reference/samples/contrib")
+    rows = {
+        (r.path.rsplit("/", 1)[-1], r.page, r.name): r
+    for r in extract_images_corpus(corpus).collect()}
+    jb2 = rows[("pdf-with-jbig2.pdf", 1, "XIPLAYER0")]
+    golden = open("/root/reference/samples/contrib/XIPLAYER0.jb2", "rb").read()
+    assert jb2.fmt == ".jb2"
+    assert jb2.n_bytes == len(golden)
+    assert jb2.sha256 == hashlib.sha256(golden).hexdigest()
+    # inline images renumbered deterministically, never id()-based
+    assert all(not k[2].isdigit() for k in rows)
