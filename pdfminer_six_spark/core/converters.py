@@ -1,15 +1,20 @@
 """Structured sinks (SURVEY.md §2.1 S7-S10): XML / HTML / hOCR / tag output
 from analyzed layout trees.
 
-Element nesting, attribute sets, and text framing follow the reference
-converters (pdfminer.six converter.py:383-837 XML/HTML, pdfdevice.py:255-327
-TagExtractor).  In the Spark engine these are *formatting* functions — pure
-``LTPage -> str`` — so a DataFrame of per-turn XML is just one more
-``mapInPandas`` projection over the same extraction kernel.
+Output is byte-identical to the reference converters (converter.py:383-681
+HTML, :683-837 XML, :842-1016 hOCR, pdfdevice.py:255-327 TagExtractor),
+including their quirks: the literal un-interpolated ``top:%dpx;`` in the
+HTML page-number div, div border colors written as the item *kind* name
+("textbox 1px solid"), and the hOCR word accumulator's stale-text carry
+across font changes.  In the Spark engine these are *formatting*
+functions — pure ``LTPage -> str`` — so a DataFrame of per-turn XML is
+just one more ``mapInPandas`` projection over the same extraction kernel.
 """
 
 from __future__ import annotations
 
+import re
+from html import escape as _html_escape
 from typing import List, Optional
 
 from pdfminer_six_spark.core.layout import (
@@ -27,6 +32,8 @@ from pdfminer_six_spark.core.layout import (
     LTTextLine,
 )
 
+_CONTROL = re.compile("[\x00-\x08\x0b-\x0c\x0e-\x1f]")
+
 
 def _esc(s: str) -> str:
     return (
@@ -35,153 +42,503 @@ def _esc(s: str) -> str:
     )
 
 
+def _enc(x) -> str:
+    """SGML escape (reference utils.py:692-696: bytes vanish, html.escape
+    with quote=True otherwise)."""
+    if isinstance(x, bytes):
+        return ""
+    return _html_escape(x)
+
+
+def _compat_str(x) -> str:
+    if isinstance(x, bytes):
+        try:
+            return x.decode("utf-8")
+        except UnicodeDecodeError:
+            return x.decode("latin-1")
+    return str(x)
+
+
 def _bbox(o) -> str:
     return f"{o.x0:.3f},{o.y0:.3f},{o.x1:.3f},{o.y1:.3f}"
 
 
-def page_to_xml(page: LTPage, page_number: int = 1) -> str:
-    """<page><textbox><textline><text …> nesting (reference converter.py:735-837)."""
+def page_to_xml(
+    page: LTPage,
+    page_number: Optional[int] = None,
+    stripcontrol: bool = False,
+    imagewriter=None,
+) -> str:
+    """One page of the reference XMLConverter's output, byte-identical
+    (converter.py:735-837): <page><textbox><textline><text …> nesting,
+    <layout> textgroup tree when layout analysis ran, and the reference's
+    exact attribute sets (colourspace/ncolour on chars, pts on curves,
+    unescaped figure names)."""
     out: List[str] = []
+    write = out.append
 
-    def text_el(item) -> str:
-        if isinstance(item, LTChar):
-            return (
-                f'<text font="{_esc(str(item.fontname))}" bbox="{_bbox(item)}" '
-                f'size="{item.size:.3f}">{_esc(item.get_text())}</text>\n'
-            )
-        if isinstance(item, LTAnno):
-            return f"<text>{_esc(item.get_text())}</text>\n"
-        return ""
+    def write_text(text: str) -> None:
+        if stripcontrol:
+            text = _CONTROL.sub("", text)
+        write(_enc(text))
+
+    def show_group(item) -> None:
+        if isinstance(item, LTTextBox):
+            write(f'<textbox id="{item.index}" bbox="{_bbox(item)}" />\n')
+        elif isinstance(item, LTTextGroup):
+            write(f'<textgroup bbox="{_bbox(item)}">\n')
+            for child in item:
+                show_group(child)
+            write("</textgroup>\n")
 
     def render(item) -> None:
-        if isinstance(item, LTTextBox):
-            wmode = "tb-rl" if isinstance(item, LTTextBoxVertical) else "lr-tb"
-            out.append(
-                f'<textbox id="{item.index}" bbox="{_bbox(item)}" wmode="{wmode}">\n'
-            )
-            for line in item:
-                if isinstance(line, LTTextLine):
-                    out.append(f'<textline bbox="{_bbox(line)}">\n')
-                    for ch in line:
-                        out.append(text_el(ch))
-                    out.append("</textline>\n")
-            out.append("</textbox>\n")
-        elif isinstance(item, LTFigure):
-            out.append(f'<figure name="{_esc(item.name)}" bbox="{_bbox(item)}">\n')
+        if isinstance(item, LTPage):
+            pid = item.pageid if page_number is None else page_number
+            write(f'<page id="{pid}" bbox="{_bbox(item)}" rotate="{item.rotate}">\n')
             for child in item:
                 render(child)
-            out.append("</figure>\n")
+            if item.groups is not None:
+                write("<layout>\n")
+                for group in item.groups:
+                    show_group(group)
+                write("</layout>\n")
+            write("</page>\n")
         elif isinstance(item, LTLine):
-            out.append(f'<line linewidth="{item.linewidth}" bbox="{_bbox(item)}" />\n')
+            write(f'<line linewidth="{item.linewidth}" bbox="{_bbox(item)}" />\n')
         elif isinstance(item, LTRect):
-            out.append(f'<rect linewidth="{item.linewidth}" bbox="{_bbox(item)}" />\n')
+            write(f'<rect linewidth="{item.linewidth}" bbox="{_bbox(item)}" />\n')
         elif isinstance(item, LTCurve):
-            out.append(f'<curve linewidth="{item.linewidth}" bbox="{_bbox(item)}" />\n')
-        elif isinstance(item, LTImage):
-            out.append(f'<image src="{_esc(item.name)}" width="{item.srcsize[0]}" '
-                       f'height="{item.srcsize[1]}" />\n')
+            pts = ",".join("{:.3f},{:.3f}".format(*p) for p in item.pts)
+            write(
+                f'<curve linewidth="{item.linewidth}" bbox="{_bbox(item)}" '
+                f'pts="{pts}"/>\n'
+            )
+        elif isinstance(item, LTFigure):
+            write(f'<figure name="{item.name}" bbox="{_bbox(item)}">\n')
+            for child in item:
+                render(child)
+            write("</figure>\n")
         elif isinstance(item, LTTextLine):
-            out.append(f'<textline bbox="{_bbox(item)}">\n')
-            for ch in item:
-                out.append(text_el(ch))
-            out.append("</textline>\n")
-        elif isinstance(item, (LTChar, LTAnno)):
-            out.append(text_el(item))
+            write(f'<textline bbox="{_bbox(item)}">\n')
+            for child in item:
+                render(child)
+            write("</textline>\n")
+        elif isinstance(item, LTTextBox):
+            wmode = ' wmode="vertical"' if isinstance(item, LTTextBoxVertical) else ""
+            write(f'<textbox id="{item.index}" bbox="{_bbox(item)}"{wmode}>\n')
+            for child in item:
+                render(child)
+            write("</textbox>\n")
+        elif isinstance(item, LTChar):
+            ncs_name = item.ncs.name if item.ncs is not None else "DeviceGray"
+            ncolor = item.graphicstate.ncolor if item.graphicstate is not None else 0
+            write(
+                f'<text font="{_enc(item.fontname)}" bbox="{_bbox(item)}" '
+                f'colourspace="{ncs_name}" ncolour="{ncolor}" '
+                f'size="{item.size:.3f}">'
+            )
+            write_text(item.get_text())
+            write("</text>\n")
+        elif isinstance(item, LTAnno):
+            write(f"<text>{item.get_text()}</text>\n")
+        elif isinstance(item, LTImage):
+            if imagewriter is not None:
+                name = imagewriter.export_image(item)
+                write(
+                    f'<image src="{_enc(name)}" width="{item.width}" '
+                    f'height="{item.height}" />\n'
+                )
+            else:
+                write(f'<image width="{item.width}" height="{item.height}" />\n')
 
-    out.append(
-        f'<page id="{page_number}" bbox="{_bbox(page)}" rotate="{page.rotate}">\n'
-    )
-    for child in page:
-        render(child)
-    out.append("</page>\n")
+    render(page)
     return "".join(out)
 
 
-def pages_to_xml(pages: List[LTPage]) -> str:
-    body = "".join(page_to_xml(p, i + 1) for i, p in enumerate(pages))
+def pages_to_xml(
+    pages: List[LTPage], stripcontrol: bool = False, imagewriter=None
+) -> str:
+    body = "".join(
+        page_to_xml(p, i + 1, stripcontrol=stripcontrol, imagewriter=imagewriter)
+        for i, p in enumerate(pages)
+    )
     return '<?xml version="1.0" encoding="utf-8" ?>\n<pages>\n' + body + "</pages>\n"
 
 
+class _HTMLEmitter:
+    """The reference HTMLConverter's exact output (converter.py:383-681):
+    absolutely-positioned divs/spans, running y-offset across pages, font
+    span coalescing, and the reference's literal quirks (un-interpolated
+    ``top:%dpx;`` page-number div, item-kind names as border colors)."""
+
+    def __init__(
+        self,
+        scale: float = 1.0,
+        fontscale: float = 1.0,
+        layoutmode: str = "normal",
+        showpageno: bool = True,
+        pagemargin: int = 50,
+        imagewriter=None,
+        debug: int = 0,
+    ) -> None:
+        self.scale = scale
+        self.fontscale = fontscale
+        self.layoutmode = layoutmode
+        self.showpageno = showpageno
+        self.pagemargin = pagemargin
+        self.imagewriter = imagewriter
+        self.rect_colors = {"curve": "black", "page": "gray"}
+        self.text_colors = {"char": "black"}
+        if debug:
+            self.rect_colors.update(
+                {"figure": "yellow", "textline": "magenta", "textbox": "cyan",
+                 "textgroup": "red", "curve": "black", "page": "gray"}
+            )
+            self.text_colors.update({"textbox": "blue", "char": "black"})
+        self._yoffset: float = self.pagemargin
+        self._font = None
+        self._fontstack: List = []
+        self.out: List[str] = []
+        self.pageno = 1
+        self.write("<html><head>\n")
+        self.write(
+            '<meta http-equiv="Content-Type" content="text/html; '
+            'charset=utf-8">\n'
+        )
+        self.write("</head><body>\n")
+
+    def write(self, s: str) -> None:
+        self.out.append(s)
+
+    def write_text(self, text: str) -> None:
+        self.write(_enc(text))
+
+    def place_rect(self, color, borderwidth, x, y, w, h) -> None:
+        color2 = self.rect_colors.get(color)
+        if color2 is not None:
+            self.write(
+                '<span style="position:absolute; '
+                f"border: {color2} {borderwidth}px solid; "
+                f"left:{x * self.scale}px; "
+                f"top:{(self._yoffset - y) * self.scale}px; "
+                f"width:{w * self.scale}px; "
+                f'height:{h * self.scale}px;"></span>\n'
+            )
+
+    def place_border(self, color, borderwidth, item) -> None:
+        self.place_rect(color, borderwidth, item.x0, item.y1, item.width, item.height)
+
+    def place_image(self, item, borderwidth, x, y, w, h) -> None:
+        if self.imagewriter is not None:
+            name = self.imagewriter.export_image(item)
+            self.write(
+                f'<img src="{_enc(name)}" border="{borderwidth}" '
+                'style="position:absolute; '
+                f"left:{x * self.scale}px; "
+                f'top:{(self._yoffset - y) * self.scale}px;" '
+                f'width="{w * self.scale}" '
+                f'height="{h * self.scale}" />\n'
+            )
+
+    def place_text(self, color, text, x, y, size) -> None:
+        color2 = self.text_colors.get(color)
+        if color2 is not None:
+            self.write(
+                '<span style="position:absolute; '
+                f"color:{color2}; "
+                f"left:{x * self.scale}px; "
+                f"top:{(self._yoffset - y) * self.scale}px; "
+                f'font-size:{size * self.scale * self.fontscale}px;">'
+            )
+            self.write_text(text)
+            self.write("</span>\n")
+
+    def begin_div(self, color, borderwidth, x, y, w, h, writing_mode="False"):
+        self._fontstack.append(self._font)
+        self._font = None
+        self.write(
+            '<div style="position:absolute; '
+            f"border: {color} {borderwidth}px solid; "
+            f"writing-mode:{writing_mode}; "
+            f"left:{x * self.scale}px; "
+            f"top:{(self._yoffset - y) * self.scale}px; "
+            f"width:{w * self.scale}px; "
+            f'height:{h * self.scale}px;">'
+        )
+
+    def end_div(self, color) -> None:
+        if self._font is not None:
+            self.write("</span>")
+        self._font = self._fontstack.pop()
+        self.write("</div>")
+
+    def put_text(self, text, fontname, fontsize) -> None:
+        font = (fontname, fontsize)
+        if font != self._font:
+            if self._font is not None:
+                self.write("</span>")
+            fontname_without_subset_tag = fontname.split("+")[-1]
+            self.write(
+                '<span style="'
+                f"font-family: {fontname_without_subset_tag}; "
+                f'font-size:{fontsize * self.scale * self.fontscale}px">'
+            )
+            self._font = font
+        self.write_text(text)
+
+    def put_newline(self) -> None:
+        self.write("<br>")
+
+    def feed(self, ltpage: LTPage) -> None:
+        def show_group(item) -> None:
+            if isinstance(item, LTTextGroup):
+                self.place_border("textgroup", 1, item)
+                for child in item:
+                    show_group(child)
+
+        def render(item) -> None:
+            if isinstance(item, LTPage):
+                self._yoffset += item.y1
+                self.place_border("page", 1, item)
+                if self.showpageno:
+                    self.write(
+                        '<div style="position:absolute; top:%dpx;">'
+                        f"{(self._yoffset - item.y1) * self.scale}",
+                    )
+                    self.write(
+                        f'<a name="{item.pageid}">Page {item.pageid}</a></div>\n',
+                    )
+                for child in item:
+                    render(child)
+                if item.groups is not None:
+                    for group in item.groups:
+                        show_group(group)
+            elif isinstance(item, LTCurve):
+                self.place_border("curve", 1, item)
+            elif isinstance(item, LTFigure):
+                self.begin_div("figure", 1, item.x0, item.y1, item.width, item.height)
+                for child in item:
+                    render(child)
+                self.end_div("figure")
+            elif isinstance(item, LTImage):
+                self.place_image(item, 1, item.x0, item.y1, item.width, item.height)
+            elif self.layoutmode == "exact":
+                if isinstance(item, LTTextLine):
+                    self.place_border("textline", 1, item)
+                    for child in item:
+                        render(child)
+                elif isinstance(item, LTTextBox):
+                    self.place_border("textbox", 1, item)
+                    self.place_text(
+                        "textbox", str(item.index + 1), item.x0, item.y1, 20
+                    )
+                    for child in item:
+                        render(child)
+                elif isinstance(item, LTChar):
+                    self.place_border("char", 1, item)
+                    self.place_text(
+                        "char", item.get_text(), item.x0, item.y1, item.size
+                    )
+            elif isinstance(item, LTTextLine):
+                for child in item:
+                    render(child)
+                if self.layoutmode != "loose":
+                    self.put_newline()
+            elif isinstance(item, LTTextBox):
+                self.begin_div(
+                    "textbox", 1, item.x0, item.y1, item.width, item.height,
+                    item.get_writing_mode(),
+                )
+                for child in item:
+                    render(child)
+                self.end_div("textbox")
+            elif isinstance(item, LTChar):
+                fontname = _compat_str(item.fontname)
+                self.put_text(item.get_text(), fontname, item.size)
+            elif isinstance(item, (LTAnno,)):
+                self.write_text(item.get_text())
+
+        render(ltpage)
+        self._yoffset += self.pagemargin
+        self.pageno += 1
+
+    def close(self) -> str:
+        page_links = [f'<a href="#{i}">{i}</a>' for i in range(1, self.pageno)]
+        self.write(
+            '<div style="position:absolute; top:0px;">'
+            f"Page: {', '.join(page_links)}</div>\n"
+        )
+        self.write("</body></html>\n")
+        return "".join(self.out)
+
+
 def page_to_html(page: LTPage, page_number: int = 1, scale: float = 1.0) -> str:
-    """Absolutely-positioned spans (reference HTMLConverter converter.py:383-681,
-    simplified: text boxes and lines only)."""
-    H = page.y1
-    out: List[str] = [
-        f'<div class="page" id="page-{page_number}" style="position:relative;'
-        f"width:{page.x1 * scale:.0f}px;height:{page.y1 * scale:.0f}px;"
-        'border:1px solid gray;">\n'
-    ]
-    def emit_box(box) -> None:
-        for line in box:
-            if not isinstance(line, LTTextLine):
-                continue
-            left = line.x0 * scale
-            top = (H - line.y1) * scale
-            size = max(
-                (c.size for c in line if isinstance(c, LTChar)), default=10.0
-            )
-            out.append(
-                f'<span style="position:absolute;left:{left:.0f}px;'
-                f"top:{top:.0f}px;font-size:{size * scale:.0f}px;"
-                f'white-space:pre;">{_esc(line.get_text())}</span>\n'
-            )
-
-    for item in page:
-        if isinstance(item, LTTextBox):
-            emit_box(item)
-        elif isinstance(item, LTFigure):
-            for sub in item:
-                if isinstance(sub, LTTextBox):
-                    emit_box(sub)
-    out.append("</div>\n")
-    return "".join(out)
+    emitter = _HTMLEmitter(scale=scale)
+    emitter.pageno = page_number
+    emitter.feed(page)
+    return "".join(emitter.out[3:])  # body only, without header
 
 
-def pages_to_html(pages: List[LTPage]) -> str:
-    body = "".join(page_to_html(p, i + 1) for i, p in enumerate(pages))
-    return (
-        "<html><head>\n"
-        '<meta http-equiv="Content-Type" content="text/html; charset=utf-8">\n'
-        "</head><body>\n" + body + "</body></html>\n"
+def pages_to_html(
+    pages: List[LTPage],
+    scale: float = 1.0,
+    fontscale: float = 1.0,
+    layoutmode: str = "normal",
+    pagemargin: int = 50,
+    imagewriter=None,
+    debug: int = 0,
+) -> str:
+    emitter = _HTMLEmitter(
+        scale=scale, fontscale=fontscale, layoutmode=layoutmode,
+        pagemargin=pagemargin, imagewriter=imagewriter, debug=debug,
     )
+    for p in pages:
+        emitter.feed(p)
+    return emitter.close()
+
+
+class _HOCREmitter:
+    """The reference HOCRConverter's exact output (converter.py:842-1016):
+    ocr_page/ocr_block/ocr_line divs with flipped integer bboxes and the
+    ocrx_word accumulator, including its stale-state carries (word text is
+    not cleared on font/size change flushes)."""
+
+    def __init__(self, codec: str = "utf-8", stripcontrol: bool = False) -> None:
+        self.codec = codec
+        self.stripcontrol = stripcontrol
+        self.within_chars = False
+        self.out: List[str] = []
+        self.page_bbox = (0.0, 0.0, 0.0, 0.0)
+        write = self.out.append
+        write(
+            "<html xmlns='http://www.w3.org/1999/xhtml' "
+            f"xml:lang='en' lang='en' charset='{codec}'>\n"
+        )
+        write("<head>\n")
+        write("<title></title>\n")
+        write("<meta http-equiv='Content-Type' content='text/html;charset=utf-8' />\n")
+        write("<meta name='ocr-system' content='pdfminer.six HOCR Converter' />\n")
+        write(
+            "  <meta name='ocr-capabilities'"
+            " content='ocr_page ocr_block ocr_line ocrx_word'/>\n"
+        )
+        write("</head>\n")
+        write("<body>\n")
+
+    def write(self, s: str) -> None:
+        self.out.append(s)
+
+    def write_text(self, text: str) -> None:
+        if self.stripcontrol:
+            text = _CONTROL.sub("", text)
+        self.write(text)
+
+    def bbox_repr(self, bbox) -> str:
+        (in_x0, in_y0, in_x1, in_y1) = bbox
+        out_x0 = int(in_x0)
+        out_y0 = int(self.page_bbox[3] - in_y1)
+        out_x1 = int(in_x1)
+        out_y1 = int(self.page_bbox[3] - in_y0)
+        return f"bbox {out_x0} {out_y0} {out_x1} {out_y1}"
+
+    def write_word(self) -> None:
+        if len(self.working_text) > 0:
+            bold_and_italic_styles = ""
+            if "Italic" in self.working_font:
+                bold_and_italic_styles = "font-style: italic; "
+            if "Bold" in self.working_font:
+                bold_and_italic_styles += "font-weight: bold; "
+            self.write(
+                f'<span style=\'font:"{self.working_font}"; '
+                f"font-size:{self.working_size}; "
+                f"{bold_and_italic_styles}' "
+                f"class='ocrx_word' "
+                f"title='{self.bbox_repr(self.working_bbox)}; "
+                f"x_font {self.working_font}; "
+                f"x_fsize {self.working_size}'>"
+                f"{self.working_text.strip()}</span>"
+            )
+        self.within_chars = False
+
+    def feed(self, ltpage: LTPage) -> None:
+        def render(item) -> None:
+            if self.within_chars and isinstance(item, LTAnno):
+                self.write_word()
+            if isinstance(item, LTPage):
+                self.page_bbox = item.bbox
+                self.write(
+                    f"<div class='ocr_page' id='{item.pageid}' "
+                    f"title='{self.bbox_repr(item.bbox)}'>\n"
+                )
+                for child in item:
+                    render(child)
+                self.write("</div>\n")
+            elif isinstance(item, LTTextLine):
+                self.write(
+                    f"<span class='ocr_line' title='{self.bbox_repr(item.bbox)}'>"
+                )
+                for child_line in item:
+                    render(child_line)
+                self.write("</span>\n")
+            elif isinstance(item, LTTextBox):
+                self.write(
+                    f"<div class='ocr_block' id='{item.index}' "
+                    f"title='{self.bbox_repr(item.bbox)}'>\n"
+                )
+                for child in item:
+                    render(child)
+                self.write("</div>\n")
+            elif isinstance(item, LTChar):
+                if not self.within_chars:
+                    self.within_chars = True
+                    self.working_text = item.get_text()
+                    self.working_bbox = item.bbox
+                    self.working_font = item.fontname
+                    self.working_size = item.size
+                elif len(item.get_text().strip()) == 0:
+                    self.write_word()
+                    self.write(item.get_text())
+                else:
+                    if (
+                        self.working_bbox[1] != item.bbox[1]
+                        or self.working_font != item.fontname
+                        or self.working_size != item.size
+                    ):
+                        self.write_word()
+                        self.working_bbox = item.bbox
+                        self.working_font = item.fontname
+                        self.working_size = item.size
+                    self.working_text += item.get_text()
+                    self.working_bbox = (
+                        self.working_bbox[0],
+                        self.working_bbox[1],
+                        item.bbox[2],
+                        self.working_bbox[3],
+                    )
+
+        render(ltpage)
+
+    def close(self) -> str:
+        self.write("<!-- comment in the following line to debug -->\n")
+        self.write(
+            "<!--script src='https://unpkg.com/hocrjs'></script--></body></html>\n"
+        )
+        return "".join(self.out)
 
 
 def page_to_hocr(page: LTPage, page_number: int = 1) -> str:
-    """hOCR interchange (reference HOCRConverter converter.py:842-1016,
-    essentials: ocr_page / ocr_carea / ocr_line with bbox titles)."""
-    H = page.y1
-
-    def hbbox(o) -> str:
-        # hOCR uses top-left origin integer pixel coords
-        return f"bbox {o.x0:.0f} {H - o.y1:.0f} {o.x1:.0f} {H - o.y0:.0f}"
-
-    out = [
-        f'<div class="ocr_page" id="page_{page_number}" title="{hbbox(page)}">\n'
-    ]
-    for item in page:
-        if not isinstance(item, LTTextBox):
-            continue
-        out.append(f'<div class="ocr_carea" title="{hbbox(item)}">\n')
-        for line in item:
-            if isinstance(line, LTTextLine):
-                out.append(
-                    f'<span class="ocr_line" title="{hbbox(line)}">'
-                    f"{_esc(line.get_text())}</span>\n"
-                )
-        out.append("</div>\n")
-    out.append("</div>\n")
-    return "".join(out)
+    emitter = _HOCREmitter()
+    emitter.feed(page)
+    return "".join(emitter.out[8:])  # body only
 
 
-def pages_to_hocr(pages: List[LTPage]) -> str:
-    body = "".join(page_to_hocr(p, i + 1) for i, p in enumerate(pages))
-    return (
-        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
-        "<html><head><meta name='ocr-capabilities' "
-        "content='ocr_page ocr_carea ocr_line'/></head><body>\n"
-        + body
-        + "</body></html>\n"
-    )
+def pages_to_hocr(
+    pages: List[LTPage], codec: str = "utf-8", stripcontrol: bool = False
+) -> str:
+    emitter = _HOCREmitter(codec=codec, stripcontrol=stripcontrol)
+    for p in pages:
+        emitter.feed(p)
+    return emitter.close()
 
 
 class TagExtractor:

@@ -44,10 +44,15 @@ def extract_pages(
     if laparams is None:
         laparams = LAParams()
     rsrcmgr = ResourceManager()
-    for page in get_pages(
-        data, password=password, page_numbers=page_numbers, maxpages=maxpages
+    for pageno, page in enumerate(
+        get_pages(
+            data, password=password, page_numbers=page_numbers, maxpages=maxpages
+        ),
+        1,
     ):
-        device = LayoutDevice(laparams=laparams)
+        # sequential 1-based ids over *processed* pages, like the reference
+        # device's running counter (converter.py:67-86)
+        device = LayoutDevice(laparams=laparams, pageno=pageno)
         interp = Interpreter(rsrcmgr, device)
         interp.process_page(page)
         yield device.get_result()

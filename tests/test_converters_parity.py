@@ -1,0 +1,69 @@
+"""XML/HTML/hOCR sink parity: pdf2txt -t {xml,html,hocr} output is
+byte-identical to the reference across the corpus, modulo two sanctioned
+normalizations:
+
+  * inline-image figure names are ``str(id(obj))`` in BOTH engines
+    (reference pdfinterp.py:1310-1315) — unstable by construction, masked;
+  * documents with tied pairwise box distances, where the reference's
+    id()-based heap tiebreak makes its own <layout> tree run-order
+    unstable (see tests/test_property_fuzz.py); mismatches there are
+    accepted only after the tie detector confirms the ambiguity.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_property_fuzz import _has_box_dist_ties
+
+SAMPLES = "/root/reference/samples/"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_ENV = dict(os.environ, PYTHONPATH="/root/reference")
+IDNAME = re.compile(rb'name="\d+"')
+
+CORPUS = [
+    "simple1.pdf",
+    "simple3.pdf",
+    "simple4.pdf",
+    "simple5.pdf",
+    "jo.pdf",
+    "font-size-test.pdf",
+    "contrib/issue-449-vertical.pdf",
+    "contrib/matplotlib.pdf",
+    "nonfree/naacl06-shinyama.pdf",
+    "nonfree/dmca.pdf",
+]
+
+
+def _convert(tool, fmt, path):
+    if tool == "ours":
+        cmd = [sys.executable, os.path.join(REPO, "tools", "pdf2txt.py"),
+               "-t", fmt, path]
+        return subprocess.run(cmd, capture_output=True)
+    cmd = [sys.executable, "/root/reference/tools/pdf2txt.py", "-t", fmt, path]
+    return subprocess.run(cmd, capture_output=True, env=REF_ENV)
+
+
+@pytest.mark.parametrize("fmt", ["xml", "html", "hocr"])
+def test_sink_byte_parity(fmt):
+    mismatches = []
+    for sample in CORPUS:
+        path = SAMPLES + sample
+        ours = IDNAME.sub(b'name="#"', _convert("ours", fmt, path).stdout)
+        ref = IDNAME.sub(b'name="#"', _convert("ref", fmt, path).stdout)
+        assert ours, sample
+        if ours != ref:
+            mismatches.append(sample)
+    for sample in mismatches:
+        with open(SAMPLES + sample, "rb") as f:
+            assert _has_box_dist_ties(f.read()), (
+                f"{sample}: {fmt} output differs without tied box distances"
+            )
+
+
+def test_sequential_page_ids():
+    out = _convert("ours", "xml", SAMPLES + "font-size-test.pdf").stdout
+    assert b'<page id="1"' in out and b'<page id="2"' in out
