@@ -615,13 +615,22 @@ class TagExtractor:
         return "".join(self.parts)
 
 
-def extract_tags(data: bytes, password: str = "") -> str:
+def extract_tags(
+    data: bytes,
+    password: str = "",
+    page_numbers=None,
+    maxpages: int = 0,
+    rotation: int = 0,
+) -> str:
     """Tag-stream extraction over a whole document."""
     from pdfminer_six_spark.core.document import get_pages
+    from pdfminer_six_spark.core.extract import _apply_rotation
     from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
 
     device = TagExtractor()
     interp = Interpreter(ResourceManager(), device)
-    for page in get_pages(data, password=password):
-        interp.process_page(page)
+    for page in get_pages(
+        data, password=password, page_numbers=page_numbers, maxpages=maxpages
+    ):
+        interp.process_page(_apply_rotation(page, rotation))
     return device.get_output()

@@ -13,15 +13,27 @@ from pdfminer_six_spark.core.document import get_pages
 from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
 from pdfminer_six_spark.core.layout import LAParams, LTPage
 
+_AUTO = object()  # "caller didn't choose": default to LAParams(); explicit
+# None means NO layout analysis (the reference pdf2txt -n path,
+# tools/pdf2txt.py:147-152 passes laparams=None through)
+
+
+def _apply_rotation(page, rotation: int):
+    if rotation:
+        page.rotate = (page.rotate + rotation) % 360  # high_level.py:141
+    return page
+
+
 def extract_text(
     data: bytes,
     password: str = "",
     page_numbers=None,
     maxpages: int = 0,
-    laparams: Optional[LAParams] = None,
+    laparams=_AUTO,
+    rotation: int = 0,
 ) -> str:
     """Reference-equivalent of pdfminer.high_level.extract_text."""
-    if laparams is None:
+    if laparams is _AUTO:
         laparams = LAParams()
     device = TextDevice(laparams=laparams)
     # font cache is keyed by objid: scope it to one document
@@ -29,7 +41,7 @@ def extract_text(
     for page in get_pages(
         data, password=password, page_numbers=page_numbers, maxpages=maxpages
     ):
-        interp.process_page(page)
+        interp.process_page(_apply_rotation(page, rotation))
     return device.get_text()
 
 
@@ -38,10 +50,11 @@ def extract_pages(
     password: str = "",
     page_numbers=None,
     maxpages: int = 0,
-    laparams: Optional[LAParams] = None,
+    laparams=_AUTO,
+    rotation: int = 0,
 ) -> Iterator[LTPage]:
     """Reference-equivalent of pdfminer.high_level.extract_pages."""
-    if laparams is None:
+    if laparams is _AUTO:
         laparams = LAParams()
     rsrcmgr = ResourceManager()
     for pageno, page in enumerate(
@@ -54,5 +67,5 @@ def extract_pages(
         # device's running counter (converter.py:67-86)
         device = LayoutDevice(laparams=laparams, pageno=pageno)
         interp = Interpreter(rsrcmgr, device)
-        interp.process_page(page)
+        interp.process_page(_apply_rotation(page, rotation))
         yield device.get_result()

@@ -64,6 +64,40 @@ def test_sink_byte_parity(fmt):
             )
 
 
+OPTION_CASES = [
+    (["-R", "90"], "simple1.pdf"),
+    (["-n"], "simple1.pdf"),
+    (["-n", "-t", "xml"], "simple1.pdf"),
+    (["-t", "xml", "-S"], "simple3.pdf"),
+    (["-t", "html", "-s", "2.0"], "simple1.pdf"),
+    (["-t", "html", "-Y", "exact"], "simple1.pdf"),
+    (["-t", "html", "-Y", "loose"], "simple1.pdf"),
+    (["-t", "tag"], "jo.pdf"),
+    (["--page-numbers", "2"], "font-size-test.pdf"),
+    (["-p", "2", "-t", "xml"], "font-size-test.pdf"),
+    (["-A", "-V"], "contrib/issue-449-vertical.pdf"),
+    (["-F", "disabled"], "simple3.pdf"),
+]
+
+
+def test_cli_option_surface_parity():
+    """Rotation, -n no-layout, strip-control, scale, layoutmodes, tag sink,
+    page selection forms — each byte-equal to the reference CLI."""
+    for opts, sample in OPTION_CASES:
+        path = SAMPLES + sample
+        ours = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "pdf2txt.py"),
+             *opts, path],
+            capture_output=True,
+        )
+        ref = subprocess.run(
+            [sys.executable, "/root/reference/tools/pdf2txt.py", *opts, path],
+            capture_output=True, env=REF_ENV,
+        )
+        assert ours.returncode == ref.returncode, (opts, sample, ours.stderr)
+        assert ours.stdout == ref.stdout, (opts, sample)
+
+
 def test_sequential_page_ids():
     out = _convert("ours", "xml", SAMPLES + "font-size-test.pdf").stdout
     assert b'<page id="1"' in out and b'<page id="2"' in out
