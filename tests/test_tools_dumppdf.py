@@ -71,6 +71,38 @@ def test_extract_embedded_matches_reference(tmp_path):
             assert a.read() == b.read()
 
 
+def test_dump_fuzz_synth_pdfs(tmp_path):
+    """Random rich/CID PDFs from the fuzz generators dump identically
+    (in-process, -t -a equivalent) — object-graph parity beyond the
+    committed corpus."""
+    import importlib.util
+    import io
+
+    from pdfminer_six_spark.datagen.transcripts import synth_cid_pdf, synth_rich_pdf
+
+    spec = importlib.util.spec_from_file_location(
+        "our_dumppdf", os.path.join(REPO, "tools", "dumppdf.py")
+    )
+    ours_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ours_mod)
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    rspec = importlib.util.spec_from_file_location(
+        "ref_dumppdf", "/root/reference/tools/dumppdf.py"
+    )
+    ref_mod = importlib.util.module_from_spec(rspec)
+    rspec.loader.exec_module(ref_mod)
+
+    for gen, seeds in ((synth_rich_pdf, range(25)), (synth_cid_pdf, range(10))):
+        for seed in seeds:
+            path = tmp_path / f"{gen.__name__}-{seed}.pdf"
+            path.write_bytes(gen(seed))
+            a, b = io.StringIO(), io.StringIO()
+            ours_mod.dumppdf(a, str(path), [], set(), dumpall=True, codec="text")
+            ref_mod.dumppdf(b, str(path), [], set(), dumpall=True, codec="text")
+            assert a.getvalue() == b.getvalue(), (gen.__name__, seed)
+
+
 def test_dump_raw_binary_typeerror():
     # the reference's own tests assert this crash; we keep behavior parity
     for opt in ("-r", "-b"):
