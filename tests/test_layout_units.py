@@ -141,3 +141,67 @@ def test_two_separated_boxes():
     l2 = _mkline(10, 10, 90, 15)
     boxes = list(container.group_textlines(LAParams(), [l1, l2]))
     assert len(boxes) == 2
+
+
+def test_find_neighbors_exact_reference_cases():
+    """The reference's exact horizontal + vertical neighbor fixtures
+    (tests/test_layout.py:36-112 there)."""
+    from pdfminer_six_spark.core.layout import LTTextLineVertical
+
+    laparams = LAParams()
+    plane = Plane((0, 0, 50, 50))
+    line = _mkline(10, 4, 20, 6)
+    left_aligned_above = _mkline(10, 6, 15, 8)
+    right_aligned_below = _mkline(15, 2, 20, 4)
+    centrally_aligned_overlapping = _mkline(13, 5, 17, 7)
+    not_aligned = _mkline(0, 6, 5, 8)
+    wrong_height = _mkline(10, 6, 15, 10)
+    for ln in (line, left_aligned_above, right_aligned_below,
+               centrally_aligned_overlapping, not_aligned, wrong_height):
+        plane.add(ln)
+    got = line.find_neighbors(plane, laparams.line_margin)
+    assert sorted(map(id, got)) == sorted(
+        map(id, [line, left_aligned_above, right_aligned_below,
+                 centrally_aligned_overlapping])
+    )
+
+    def mkvline(x0, y0, x1, y1):
+        ln = LTTextLineVertical(laparams.word_margin)
+        ln.set_bbox((x0, y0, x1, y1))
+        return ln
+
+    vplane = Plane((0, 0, 50, 50))
+    vline = mkvline(4, 10, 6, 20)
+    bottom_aligned_right = mkvline(6, 10, 8, 15)
+    top_aligned_left = mkvline(2, 15, 4, 20)
+    centrally_overlapping = mkvline(5, 13, 7, 17)
+    v_not_aligned = mkvline(6, 0, 8, 5)
+    wrong_width = mkvline(6, 10, 10, 15)
+    for ln in (vline, bottom_aligned_right, top_aligned_left,
+               centrally_overlapping, v_not_aligned, wrong_width):
+        vplane.add(ln)
+    got_v = vline.find_neighbors(vplane, laparams.line_margin)
+    assert sorted(map(id, got_v)) == sorted(
+        map(id, [vline, bottom_aligned_right, top_aligned_left,
+                 centrally_overlapping])
+    )
+
+
+def test_issue_449_empty_characters_box_counts():
+    """issue #449 (PR #689 there): explicit space chars between lines must
+    not merge the boxes — 3 horizontal / 3 vertical boxes."""
+    from pdfminer_six_spark.core.extract import extract_pages
+    from pdfminer_six_spark.core.layout import (
+        LTTextBoxHorizontal,
+        LTTextBoxVertical,
+    )
+
+    with open(os.path.join(SAMPLES, "contrib/issue-449-horizontal.pdf"), "rb") as f:
+        page = next(extract_pages(f.read()))
+    assert sum(isinstance(b, LTTextBoxHorizontal) for b in page) == 3
+
+    with open(os.path.join(SAMPLES, "contrib/issue-449-vertical.pdf"), "rb") as f:
+        page = next(
+            extract_pages(f.read(), laparams=LAParams(detect_vertical=True))
+        )
+    assert sum(isinstance(b, LTTextBoxVertical) for b in page) == 3
