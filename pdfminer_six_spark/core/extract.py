@@ -13,6 +13,27 @@ from pdfminer_six_spark.core.document import get_pages
 from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
 from pdfminer_six_spark.core.layout import LAParams, LTPage
 
+def _as_bytes(pdf) -> bytes:
+    """Accept the same inputs as the reference high-level API
+    (utils.py:36-65 open_filename): bytes, str/PurePath filename, or a
+    binary file-like."""
+    import pathlib
+
+    if isinstance(pdf, bytes):
+        return pdf
+    if isinstance(pdf, pathlib.PurePath):
+        pdf = str(pdf)
+    if isinstance(pdf, str):
+        with open(pdf, "rb") as f:
+            return f.read()
+    if hasattr(pdf, "read"):
+        data = pdf.read()
+        if isinstance(data, bytes):
+            return data
+        raise TypeError("file-like input must be binary")
+    raise TypeError(f"Unsupported input type: {type(pdf)}")
+
+
 _AUTO = object()  # "caller didn't choose": default to LAParams(); explicit
 # None means NO layout analysis (the reference pdf2txt -n path,
 # tools/pdf2txt.py:147-152 passes laparams=None through)
@@ -25,14 +46,16 @@ def _apply_rotation(page, rotation: int):
 
 
 def extract_text(
-    data: bytes,
+    data,
     password: str = "",
     page_numbers=None,
     maxpages: int = 0,
     laparams=_AUTO,
     rotation: int = 0,
 ) -> str:
-    """Reference-equivalent of pdfminer.high_level.extract_text."""
+    """Reference-equivalent of pdfminer.high_level.extract_text; accepts
+    bytes, a filename/Path, or a binary file-like."""
+    data = _as_bytes(data)
     if laparams is _AUTO:
         laparams = LAParams()
     device = TextDevice(laparams=laparams)
@@ -46,14 +69,16 @@ def extract_text(
 
 
 def extract_pages(
-    data: bytes,
+    data,
     password: str = "",
     page_numbers=None,
     maxpages: int = 0,
     laparams=_AUTO,
     rotation: int = 0,
 ) -> Iterator[LTPage]:
-    """Reference-equivalent of pdfminer.high_level.extract_pages."""
+    """Reference-equivalent of pdfminer.high_level.extract_pages; accepts
+    bytes, a filename/Path, or a binary file-like."""
+    data = _as_bytes(data)
     if laparams is _AUTO:
         laparams = LAParams()
     rsrcmgr = ResourceManager()

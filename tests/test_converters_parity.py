@@ -101,3 +101,34 @@ def test_cli_option_surface_parity():
 def test_sequential_page_ids():
     out = _convert("ours", "xml", SAMPLES + "font-size-test.pdf").stdout
     assert b'<page id="1"' in out and b'<page id="2"' in out
+
+
+def test_high_level_api_shapes():
+    """Reference import surface: extract_text accepts path/Path/file-like;
+    extract_text_to_fp writes identical XML to the reference's."""
+    import io
+    import pathlib
+
+    from pdfminer_six_spark import high_level
+
+    jo = SAMPLES + "jo.pdf"
+    t1 = high_level.extract_text(jo)
+    t2 = high_level.extract_text(pathlib.Path(jo))
+    with open(jo, "rb") as f:
+        t3 = high_level.extract_text(f)
+    assert t1 == t2 == t3 and t1
+
+    from pdfminer_six_spark.core.layout import LAParams
+
+    bio = io.BytesIO()
+    with open(SAMPLES + "simple1.pdf", "rb") as f:
+        high_level.extract_text_to_fp(f, bio, output_type="xml",
+                                      laparams=LAParams())
+    sys.path.insert(0, "/root/reference")
+    import pdfminer.high_level as ref_hl
+    from pdfminer.layout import LAParams as RefLA
+
+    rbio = io.BytesIO()
+    with open(SAMPLES + "simple1.pdf", "rb") as f:
+        ref_hl.extract_text_to_fp(f, rbio, output_type="xml", laparams=RefLA())
+    assert bio.getvalue() == rbio.getvalue()
