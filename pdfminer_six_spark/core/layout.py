@@ -58,16 +58,24 @@ def apply_matrix_norm(m: Matrix, v: Point) -> Point:
 
 
 def apply_matrix_rect(m: Matrix, rect: Rect) -> Rect:
+    # hot path (once per glyph): transform the 4 corners inline and take
+    # min/max without building intermediate point tuples
+    a, b, c, d, e, f = m
     x0, y0, x1, y1 = rect
-    pts = (
-        apply_matrix_pt(m, (x0, y0)),
-        apply_matrix_pt(m, (x1, y0)),
-        apply_matrix_pt(m, (x0, y1)),
-        apply_matrix_pt(m, (x1, y1)),
+    px0 = a * x0 + c * y0 + e
+    py0 = b * x0 + d * y0 + f
+    px1 = a * x1 + c * y0 + e
+    py1 = b * x1 + d * y0 + f
+    px2 = a * x0 + c * y1 + e
+    py2 = b * x0 + d * y1 + f
+    px3 = a * x1 + c * y1 + e
+    py3 = b * x1 + d * y1 + f
+    return (
+        min(px0, px1, px2, px3),
+        min(py0, py1, py2, py3),
+        max(px0, px1, px2, px3),
+        max(py0, py1, py2, py3),
     )
-    xs = [p[0] for p in pts]
-    ys = [p[1] for p in pts]
-    return (min(xs), min(ys), max(xs), max(ys))
 
 
 def uniq(objs):
@@ -312,13 +320,16 @@ class LTExpandableContainer(LTContainer):
         super().__init__((+INF, +INF, -INF, -INF))
 
     def add(self, obj: LTComponent) -> None:
-        LTContainer.add(self, obj)
+        # hot path (once per child): merge bboxes without builtin-call or
+        # tuple-build overhead
+        self._objs.append(obj)
+        ox0, oy0, ox1, oy1 = obj.x0, obj.y0, obj.x1, obj.y1
         self.set_bbox(
             (
-                min(self.x0, obj.x0),
-                min(self.y0, obj.y0),
-                max(self.x1, obj.x1),
-                max(self.y1, obj.y1),
+                self.x0 if self.x0 < ox0 else ox0,
+                self.y0 if self.y0 < oy0 else oy0,
+                self.x1 if self.x1 > ox1 else ox1,
+                self.y1 if self.y1 > oy1 else oy1,
             )
         )
 
@@ -494,16 +505,22 @@ class Plane:
         return obj in self._objs
 
     def _cells(self, bbox: Rect):
+        # hot path: same cell keys as the _drange formulation, but returns
+        # a sequence (no generator frame) with a 1-cell fast path — most
+        # lines/chars span a single 50pt cell
         x0, y0, x1, y1 = bbox
         if x1 <= self.x0 or self.x1 <= x0 or y1 <= self.y0 or self.y1 <= y0:
-            return
-        x0 = max(self.x0, x0)
-        y0 = max(self.y0, y0)
-        x1 = min(self.x1, x1)
-        y1 = min(self.y1, y1)
-        for gy in _drange(y0, y1, self.gridsize):
-            for gx in _drange(x0, x1, self.gridsize):
-                yield (gx, gy)
+            return ()
+        gs = self.gridsize
+        gx0 = int(x0 if x0 > self.x0 else self.x0) // gs
+        gx1 = int((x1 if x1 < self.x1 else self.x1) + gs) // gs
+        gy0 = int(y0 if y0 > self.y0 else self.y0) // gs
+        gy1 = int((y1 if y1 < self.y1 else self.y1) + gs) // gs
+        if gx1 - gx0 == 1 and gy1 - gy0 == 1:
+            return ((gx0, gy0),)
+        return [
+            (gx, gy) for gy in range(gy0, gy1) for gx in range(gx0, gx1)
+        ]
 
     def extend(self, objs) -> None:
         for obj in objs:
