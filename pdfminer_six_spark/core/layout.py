@@ -542,8 +542,15 @@ class Plane:
 
     def find(self, bbox: Rect):
         x0, y0, x1, y1 = bbox
+        cells = self._cells(bbox)
+        if len(cells) == 1:  # single cell: no duplicates possible
+            for obj in self._grid.get(cells[0], ()):
+                if obj.x1 <= x0 or x1 <= obj.x0 or obj.y1 <= y0 or y1 <= obj.y0:
+                    continue
+                yield obj
+            return
         done = set()
-        for k in self._cells(bbox):
+        for k in cells:
             for obj in self._grid.get(k, ()):
                 if obj in done:
                     continue
@@ -629,7 +636,8 @@ class LTLayoutContainer(LTContainer):
                 box = LTTextBoxHorizontal()
             else:
                 box = LTTextBoxVertical()
-            for obj in uniq(members):
+            # dedupe by identity preserving order (objects hash by id)
+            for obj in dict.fromkeys(members):
                 box.add(obj)
                 boxes[obj] = box
         done = set()
