@@ -57,6 +57,94 @@ def streaming_extract(
     return writer.start()
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "conv_id string, session_start timestamp, session_end timestamp, "
+    "n_turns long, n_pdf_turns long, closed boolean"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long, npdf long"
+
+
+def conversation_sessions(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: track each
+    conversation's running session (start/end/turn counts) in the state
+    store and emit a closed-session row once the event-time watermark
+    passes the idle gap.  This is the session-window shape a transcript
+    pipeline needs (conversations have no explicit end marker at
+    10^12-turn scale); the per-key state is O(1) — four longs — so the
+    state store stays tiny no matter how long a conversation runs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    gap_s = _duration_seconds(gap)
+
+    def update(key, pdfs, state) -> "pd.DataFrame":
+        conv_id = key[0]
+        if state.hasTimedOut:
+            start, last, n, npdf = state.get
+            state.remove()
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "conv_id": [conv_id],
+                            "session_start": [
+                                dt.datetime.fromtimestamp(
+                                    start / 1e6, dt.timezone.utc
+                                ).replace(tzinfo=None)
+                            ],
+                            "session_end": [
+                                dt.datetime.fromtimestamp(
+                                    last / 1e6, dt.timezone.utc
+                                ).replace(tzinfo=None)
+                            ],
+                            "n_turns": [n],
+                            "n_pdf_turns": [npdf],
+                            "closed": [True],
+                        }
+                    )
+                ]
+            )
+        start = last = None
+        n = npdf = 0
+        if state.exists:
+            start, last, n, npdf = state.get
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start = lo if start is None or lo < start else start
+            last = hi if last is None or hi > last else last
+            n += len(pdf)
+            npdf += int((pdf["tool"] == "pdf").sum())
+        state.update((start, last, n, npdf))
+        # close the session once the watermark passes last-turn + gap
+        state.setTimeoutTimestamp(last // 1000 + gap_s * 1000)
+        return iter(())
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
+def _duration_seconds(s: str) -> int:
+    qty, unit = s.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600}[unit]
+    return int(qty) * mult
+
+
 def windowed_turn_metrics(
     transcripts: DataFrame,
     window: str = "1 hour",

@@ -180,6 +180,59 @@ def test_streaming_extract_resume(spark, tmp_path):
     assert n2 == len(all_rows)
 
 
+def test_stateful_conversation_sessions(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    conversations close via event-time timeout once the watermark passes
+    the idle gap; per-key state is four longs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import conversation_sessions
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(str(src / name))
+
+    write("f1.parquet", [
+        ("convA", 0, "user", "hi", "", t0),
+        ("convA", 1, "assistant", "hello", "pdf", t0 + dt.timedelta(minutes=5)),
+    ])
+    # later files advance the watermark past convA's gap in later batches
+    write("f2.parquet", [("convB", 0, "user", "later", "",
+                          t0 + dt.timedelta(hours=4))])
+    write("f3.parquet", [("convB", 1, "user", "more", "",
+                          t0 + dt.timedelta(hours=5))])
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = conversation_sessions(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory").queryName("sessions_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = {r.conv_id: r for r in spark.sql("select * from sessions_test").collect()}
+    a = rows["convA"]
+    assert a.n_turns == 2 and a.n_pdf_turns == 1 and a.closed
+    assert a.session_start == t0
+    assert a.session_end == t0 + dt.timedelta(minutes=5)
+    # convB never idles past the gap before the stream ends -> stays open
+    assert "convB" not in rows
+
+
 def test_blocked_embedding_pairs_equal_exact(spark):
     from pdfminer_six_spark.ops.ann import (
         embedding_near_duplicates,
