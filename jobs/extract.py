@@ -41,6 +41,9 @@ def main() -> None:
                     help="write sorted by (conv_id, turn_idx)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--images", action="store_true",
+                    help="input is a directory of PDFs (binaryFile scan); "
+                         "emit one metadata+sha256 row per embedded image")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,6 +56,18 @@ def main() -> None:
     )
 
     spark = SparkSession.builder.appName("pdfminer-six-spark-extract").getOrCreate()
+
+    if args.images:
+        from pdfminer_six_spark.spark.sources import (
+            extract_images_corpus,
+            read_pdf_corpus,
+        )
+
+        corpus = read_pdf_corpus(spark, args.input)
+        extract_images_corpus(corpus, password=args.password).write.mode(
+            "append"
+        ).parquet(args.output)
+        return
 
     if args.streaming:
         from pdfminer_six_spark.spark.streaming import streaming_extract
