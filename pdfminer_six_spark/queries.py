@@ -603,6 +603,51 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_length_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles of document length per language —
+    partial-aggregatable (ObjectHashAggregate), one shuffle on the group
+    key.  The approximate-sketch variant for the 100 TB path is
+    q_length_quantiles_sketch (percentile_approx / GK, mergeable across
+    partitions with bounded memory)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.expr(
+                "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))"
+            ).alias("len_quantiles"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS len_quantiles,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_length_quantiles_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (Greenwald-Khanna via percentile_approx):
+    the constant-memory scale path; accuracy-checked against the exact
+    percentiles in tests, rows-only for the oracle (sketch outputs are
+    engine-specific by construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.percentile_approx(
+                "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99], 10000
+            ).alias("len_quantiles_approx"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
@@ -744,6 +789,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
     "text_language_id": (q_language_id, _lang_sql()),
     "text_quality": (q_quality, None),
+    "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
+    "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_topk_cosine": (q_ann_topk, _SQL_ANN_TOPK),
     "ann_lsh_topk": (q_ann_lsh, None),
     "ann_ivf_topk": (q_ann_ivf, None),

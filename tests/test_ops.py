@@ -180,6 +180,26 @@ def test_streaming_extract_resume(spark, tmp_path):
     assert n2 == len(all_rows)
 
 
+def test_quantile_sketch_accuracy(spark):
+    """The GK sketch (percentile_approx, accuracy 10000) must land within
+    one observed-value step of the exact interpolated percentiles."""
+    from pdfminer_six_spark.queries import (
+        q_length_quantiles,
+        q_length_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.lang: r.len_quantiles for r in q_length_quantiles(spark, sf).collect()}
+    approx = {
+        r.lang: r.len_quantiles_approx
+        for r in q_length_quantiles_sketch(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for lang in exact:
+        for e, a in zip(exact[lang], approx[lang]):
+            assert abs(e - a) <= max(0.05 * e, 50.0), (lang, e, a)
+
+
 def test_stateful_conversation_sessions(spark, tmp_path):
     """Custom stateful streaming operator (applyInPandasWithState):
     conversations close via event-time timeout once the watermark passes
