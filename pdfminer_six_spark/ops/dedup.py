@@ -179,13 +179,15 @@ def minhash_near_duplicates(
     verification cost ∝ candidates, not ∝ all co-occurring pairs).
     Equals jaccard_pairs when LSH recall is 1 (verified in tests)."""
     cand = minhash_lsh_candidates(df, num_hashes, bands)
-    sh = (
+    # shingles() is distinct per doc, so |set| IS the shingle count — one
+    # aggregation serves both the set and its size (no separate count
+    # branch, two fewer join shuffles)
+    sh_sets = (
         shingles(df)
         .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sset"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sh_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
     scored = (
         cand.join(
             sh_sets.select(F.col("doc_id").alias("doc_a"),
@@ -200,21 +202,11 @@ def minhash_near_duplicates(
         .withColumn(
             "n_common", F.size(F.array_intersect("set_a", "set_b"))
         )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"),
-                         F.col("n_sh").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"),
-                         F.col("n_sh").alias("n_b")),
-            "doc_b",
-        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                / (F.size("set_a") + F.size("set_b") - F.col("n_common")),
                 6,
             ),
         )
