@@ -117,10 +117,14 @@ def test_extract_never_crashes_on_garbage(data):
         pass
 
 
-def _has_box_dist_ties(pdf_bytes: bytes) -> bool:
+def _has_box_dist_ties(pdf_bytes: bytes, laparams=None) -> bool:
     """True if any page has tied pairwise box distances — there the
     reference's id()-based heap tiebreak is allocator-dependent (its own
-    output varies run-to-run), so any tie order is a valid answer."""
+    output varies run-to-run), so any tie order is a valid answer.  Ties
+    depend on the grouping geometry, so pass the same LAParams as the
+    extraction being arbitrated (verified live: synth_cid_pdf(1) under
+    detect_vertical flips box order in the reference depending on process
+    allocation history)."""
     import collections
 
     from pdfminer_six_spark.core.device import LayoutDevice
@@ -132,7 +136,7 @@ def _has_box_dist_ties(pdf_bytes: bytes) -> bool:
         dev = LayoutDevice(laparams=None)
         Interpreter(ResourceManager(), dev).process_page(page)
         lt = dev.get_result()
-        la = LAParams()
+        la = laparams if laparams is not None else LAParams()
         textobjs = [o for o in lt._objs if isinstance(o, LTChar)]
         if not textobjs:
             continue
@@ -210,3 +214,56 @@ def test_cid_pdf_fuzz():
     for seed in range(80):
         pdf = synth_cid_pdf(seed)
         assert our_extract(pdf) == ref_extract(BytesIO(pdf)), seed
+
+
+def test_laparams_combo_differential():
+    """Fuzz docs x LAParams combos (boxes_flow off/skewed, vertical,
+    all_texts, margin extremes): byte-equality with the reference except
+    where tied box distances make the reference's own order
+    allocator-dependent."""
+    import logging
+    import tempfile
+
+    logging.disable(logging.ERROR)
+    try:
+        from pdfminer_six_spark.core.extract import extract_text as ours_extract
+        from pdfminer_six_spark.core.layout import LAParams as OurLA
+        from pdfminer_six_spark.datagen.transcripts import (
+            synth_cid_pdf,
+            synth_rich_pdf,
+        )
+
+        from tests.conftest import import_reference
+
+        import_reference()
+        from pdfminer.high_level import extract_text as ref_extract
+        from pdfminer.layout import LAParams as RefLA
+
+        combos = [
+            dict(boxes_flow=None),
+            dict(detect_vertical=True),
+            dict(all_texts=True),
+            dict(char_margin=0.5),
+            dict(char_margin=8.0, line_margin=1.5),
+            dict(word_margin=0.0),
+            dict(line_overlap=0.1),
+            dict(boxes_flow=-0.9),
+            dict(boxes_flow=0.9, detect_vertical=True),
+        ]
+        checked = mismatches_without_ties = 0
+        for gen, seeds in ((synth_rich_pdf, range(12)), (synth_cid_pdf, range(6))):
+            for seed in seeds:
+                pdf = gen(seed)
+                for kw in combos:
+                    checked += 1
+                    a = ours_extract(pdf, laparams=OurLA(**kw))
+                    with tempfile.NamedTemporaryFile(suffix=".pdf") as f:
+                        f.write(pdf)
+                        f.flush()
+                        b = ref_extract(f.name, laparams=RefLA(**kw))
+                    if a != b and not _has_box_dist_ties(pdf, OurLA(**kw)):
+                        mismatches_without_ties += 1
+        assert checked == 162
+        assert mismatches_without_ties == 0
+    finally:
+        logging.disable(logging.NOTSET)
