@@ -267,3 +267,48 @@ def test_laparams_combo_differential():
         assert mismatches_without_ties == 0
     finally:
         logging.disable(logging.NOTSET)
+
+
+def test_laparams_corpus_differential():
+    """LAParams combos over real corpus docs: byte-equality with the
+    reference, tie-arbitrated (kampo/naacl diverge only under combos where
+    tied box distances exist)."""
+    import logging
+
+    logging.disable(logging.ERROR)
+    try:
+        from pdfminer_six_spark.core.extract import extract_text as ours_extract
+        from pdfminer_six_spark.core.layout import LAParams as OurLA
+
+        from tests.conftest import SAMPLES, import_reference
+
+        import_reference()
+        import os
+
+        from pdfminer.high_level import extract_text as ref_extract
+        from pdfminer.layout import LAParams as RefLA
+
+        combos = [
+            dict(boxes_flow=None),
+            dict(detect_vertical=True),
+            dict(all_texts=True),
+            dict(char_margin=0.5),
+            dict(word_margin=0.0),
+            dict(boxes_flow=-0.9),
+        ]
+        files = [
+            "simple1.pdf", "simple4.pdf", "simple5.pdf", "jo.pdf",
+            "font-size-test.pdf", "contrib/issue-449-vertical.pdf",
+            "contrib/2b.pdf", "nonfree/dmca.pdf",
+        ]
+        for fn in files:
+            path = os.path.join(SAMPLES, fn)
+            with open(path, "rb") as f:
+                data = f.read()
+            for kw in combos:
+                a = ours_extract(data, laparams=OurLA(**kw))
+                b = ref_extract(path, laparams=RefLA(**kw))
+                if a != b:
+                    assert _has_box_dist_ties(data, OurLA(**kw)), (fn, kw)
+    finally:
+        logging.disable(logging.NOTSET)
