@@ -28,10 +28,6 @@ Semantics parity notes (reference: pdfminer/ccitt.py):
 
 from __future__ import annotations
 
-import gzip
-import json
-import os
-
 import numpy as np
 
 __all__ = ["CCITTDecodeError", "ccitt_fax_decode", "g4_decode", "g4_encode"]
@@ -42,13 +38,9 @@ class CCITTDecodeError(Exception):
 
 
 def _load_tables():
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "resources",
-        "ccitt_codes.json.gz",
-    )
-    with gzip.open(path, "rt") as f:
-        raw = json.load(f)
+    from pdfminer_six_spark.core.encodings import load_resource
+
+    raw = load_resource("ccitt_codes")
 
     def trie(table):
         root = {}

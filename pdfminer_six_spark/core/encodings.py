@@ -16,20 +16,26 @@ from __future__ import annotations
 
 import gzip
 import json
-import os
 import re
 from functools import lru_cache
 from typing import Dict, Iterable, Optional
 
 from pdfminer_six_spark.core.objects import Name
 
-_RESOURCE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources")
 _HEX = re.compile(r"[0-9a-fA-F]+")
 
 
 def load_resource(name: str):
-    path = os.path.join(_RESOURCE_DIR, name + ".json.gz")
-    with gzip.open(path, "rt", encoding="utf-8") as f:
+    """Load a resources/*.json.gz table through importlib.resources so it
+    works identically from a checkout and from inside the spark-submit
+    --py-files zip (executors import the package via zipimport — plain
+    filesystem paths do not exist there)."""
+    from importlib import resources
+
+    ref = resources.files("pdfminer_six_spark").joinpath(
+        "resources", name + ".json.gz"
+    )
+    with ref.open("rb") as raw, gzip.open(raw, "rt", encoding="utf-8") as f:
         return json.load(f)
 
 
