@@ -13,10 +13,9 @@ parses each predefined CMap at most once across all Arrow batches.
 from __future__ import annotations
 
 import struct
-from typing import Any, Dict, Iterable, Iterator, List, Optional
+from typing import Any, Dict, Iterable, Iterator, List
 
 from pdfminer_six_spark.core.encodings import GlyphNameError, glyph2unicode, load_resource
-from pdfminer_six_spark.core.lexer import Lexer
 from pdfminer_six_spark.core.objects import (
     KWD,
     LexEOF,

@@ -20,7 +20,6 @@ from pdfminer_six_spark.core.objects import (
     LIT,
     STRICT,
     LexEOF,
-    Name,
     ObjectNotFound,
     ParseError,
     StreamObject,
@@ -29,7 +28,6 @@ from pdfminer_six_spark.core.objects import (
     dict_value,
     int_value,
     list_value,
-    name_str,
     nunpack,
     resolve1,
     safe_int,

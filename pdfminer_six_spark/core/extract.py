@@ -6,7 +6,7 @@ These are the kernels the Spark pipeline wraps in vectorized UDFs: pure
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Iterator
 
 from pdfminer_six_spark.core.device import LayoutDevice, TextDevice
 from pdfminer_six_spark.core.document import get_pages

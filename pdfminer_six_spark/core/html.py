@@ -16,7 +16,6 @@ Pure ``str -> str`` — wrapped in the same vectorized UDF as the PDF kernel.
 
 from __future__ import annotations
 
-from html import unescape
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 

@@ -29,7 +29,7 @@ jbig2.py:183-189).
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List
 
 __all__ = ["JBIG2Error", "Segment", "parse_segments", "embedded_to_file"]

@@ -9,7 +9,7 @@ kernel.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from pyspark.sql import DataFrame, Window, functions as F
 

@@ -10,12 +10,10 @@ reduces each doc to one 64-bit signature and joins on rotated prefixes.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from pdfminer_six_spark.ops.textstats import tokens_col
 

@@ -10,8 +10,6 @@ per-conversation metrics aggregation with a watermark handles late turns.
 
 from __future__ import annotations
 
-from typing import Optional
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pdfminer_six_spark.spark.pipeline import (
