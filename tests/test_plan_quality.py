@@ -77,3 +77,40 @@ def test_partial_aggregation_in_agg(spark):
     assert "partial_sum" in plan
     assert "HashAggregate" in plan
     assert plan.index("partial_sum") > plan.index("Exchange")  # partial below
+
+
+def test_lsh_join_is_equi_join_no_cartesian(spark):
+    """The LSH candidate join must compile to a hash equi-join on
+    (band, bucket) — never a cartesian/broadcast-nested-loop (that's the
+    whole point of banding at 10^9 docs)."""
+    from pdfminer_six_spark.queries import QUERIES
+
+    fn, _ = QUERIES["dedup_minhash_lsh"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantiles_partial_aggregation(spark):
+    """Exact percentiles aggregate with a map-side partial pass (one
+    shuffle on the group key, merge on the reduce side)."""
+    from pdfminer_six_spark.queries import QUERIES
+
+    fn, _ = QUERIES["text_length_quantiles"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "partial_percentile" in plan or "ObjectHashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_extract_images_is_scan_plus_udf(spark):
+    """Image extraction is row-local: binaryFile scan straight into
+    mapInPandas, no shuffle before the (test-only) final sort."""
+    from pdfminer_six_spark.spark.sources import (
+        extract_images_corpus,
+        read_pdf_corpus,
+    )
+
+    corpus = read_pdf_corpus(spark, "/root/reference/samples/contrib")
+    plan = _plan(extract_images_corpus(corpus))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
