@@ -251,7 +251,11 @@ class ContentParser(StackParser):
         super().__init__(b"\n".join(parts))
 
     def flush(self) -> None:
-        self.add_results(*self.popall())
+        # called once per depth-0 token (hot path): skip the popall/extend
+        # churn when nothing is stacked
+        if self.stack:
+            self.results.extend(self.stack)
+            self.stack = []
 
     def do_keyword(self, pos: int, token: Keyword) -> None:
         if token is _KW_BI:
