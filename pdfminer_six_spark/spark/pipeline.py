@@ -64,8 +64,44 @@ EXTRACTED_SCHEMA = StructType(
         StructField("status", StringType()),
         StructField("error", StringType()),
         StructField("wall_ms", DoubleType()),
+        # character-span offsets (north rule): [start, end) into `text`
+        # per page (PDF turns; pages end at \f) or one whole-text span
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("page", IntegerType()),
+                        StructField("start", IntegerType()),
+                        StructField("end", IntegerType()),
+                    ]
+                )
+            ),
+        ),
     ]
 )
+
+
+def _char_spans(text: str, n_pages: int):
+    """[(page, start, end)] offsets into the extracted text; PDF page
+    texts are terminated by \\f (the text sink emits one per page)."""
+    if not text:
+        return []
+    if n_pages <= 0:
+        return [(0, 0, len(text))]
+    spans = []
+    start = 0
+    page = 0
+    while True:
+        i = text.find("\f", start)
+        if i == -1:
+            if start < len(text):
+                spans.append((page, start, len(text)))
+            break
+        spans.append((page, start, i + 1))
+        start = i + 1
+        page += 1
+    return spans
 
 CHARS_SCHEMA = StructType(
     [
@@ -182,6 +218,11 @@ def extract_transcripts(
                     "error": pd.Series(errors, index=pdf_batch.index),
                     "wall_ms": pd.Series(
                         [wall] * len(texts), index=pdf_batch.index, dtype="float64"
+                    ),
+                    "spans": pd.Series(
+                        [_char_spans(t, p) for t, p in zip(texts, pages)],
+                        index=pdf_batch.index,
+                        dtype="object",
                     ),
                 }
             )

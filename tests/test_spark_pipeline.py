@@ -159,3 +159,26 @@ def test_extract_images_corpus(spark):
     assert jb2.sha256 == hashlib.sha256(golden).hexdigest()
     # inline images renumbered deterministically, never id()-based
     assert all(not k[2].isdigit() for k in rows)
+
+
+def test_char_spans_tile_text(spark, transcripts_pdf):
+    """North-rule span invariant: per-page [start, end) offsets tile the
+    extracted text; PDF page spans end at the \\f page terminator."""
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+
+    out = extract_transcripts(spark.createDataFrame(transcripts_pdf)).collect()
+    checked = 0
+    for r in out:
+        if not r.text:
+            assert r.spans == []
+            continue
+        assert r.spans[0].start == 0
+        assert r.spans[-1].end == len(r.text)
+        for a, b in zip(r.spans, r.spans[1:]):
+            assert a.end == b.start
+        if r.n_pages:
+            assert len(r.spans) >= r.n_pages
+            for s in r.spans[: r.n_pages]:
+                assert r.text[s.end - 1] == "\f"
+            checked += 1
+    assert checked > 0
