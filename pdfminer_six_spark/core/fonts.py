@@ -52,7 +52,8 @@ class UnicodeNotDefined(FontError):
 def safe_float(x) -> Optional[float]:
     try:
         return float(x)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, OverflowError):
+        # OverflowError: int wider than a double (reference casting.py:17-21)
         return None
 
 

@@ -42,7 +42,8 @@ from pdfminer_six_spark.core.objects import Keyword
 def safe_float(x) -> Optional[float]:
     try:
         return float(x)
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, OverflowError):
+        # OverflowError: int wider than a double (reference casting.py:17-21)
         return None
 
 

@@ -205,3 +205,35 @@ def test_issue_449_empty_characters_box_counts():
             extract_pages(f.read(), laparams=LAParams(detect_vertical=True))
         )
     assert sum(isinstance(b, LTTextBoxVertical) for b in page) == 3
+
+
+def test_safe_float_edge_cases():
+    """Reference casting semantics (its tests/test_casting.py): strings
+    parse, None/objects/overlarge ints return None."""
+    from pdfminer_six_spark.core.interp import safe_float
+
+    assert safe_float(0) == 0.0
+    assert safe_float("1.5") == 1.5
+    assert safe_float(None) is None
+    assert safe_float(object()) is None
+    assert safe_float(2**1024) is None  # OverflowError path
+
+
+def test_huge_int_operand_does_not_crash_turn():
+    """A content stream with an int too large for float must extract like
+    the reference (operator ignored), not error the turn."""
+    from pdfminer_six_spark.core.extract import extract_text
+
+    content = b"BT /F1 12 Tf 72 720 Td " + b"9" * 400 + b" g (hi) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 4 0 R>>>>/Contents 5 0 R>>endobj\n"
+        b"4 0 obj<</Type/Font/Subtype/Type1/BaseFont/Helvetica>>endobj\n"
+        b"5 0 obj<</Length " + str(len(content)).encode() + b">>stream\n"
+        + content + b"\nendstream endobj\n"
+        b"trailer<</Root 1 0 R>>\n"
+    )
+    assert "hi" in extract_text(pdf)
