@@ -73,6 +73,55 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return enc.update(data) + enc.finalize()
 
 
+def saslprep(data: str, prohibit_unassigned_code_points: bool = True) -> str:
+    """RFC 4013 SASLprep for AES-256 r6 unicode passwords (ISO 32000-2
+    §7.6.4.3.3 requires it; reference: pdfminer/_saslprep.py:30-120, same
+    RFC realized over the stdlib stringprep tables).
+
+    Map: non-ASCII spaces (C.1.2) -> SPACE, commonly-mapped-to-nothing
+    (B.1) -> removed; normalize: NFKC under Unicode 3.2; prohibit: C.1.2,
+    C.2.x, C.3-C.9 (+ A.1 for stored strings); bidi per RFC 3454 §6."""
+    import stringprep
+    import unicodedata
+
+    if not data:
+        return data
+    prohibited = (
+        stringprep.in_table_c12,
+        stringprep.in_table_c21_c22,
+        stringprep.in_table_c3,
+        stringprep.in_table_c4,
+        stringprep.in_table_c5,
+        stringprep.in_table_c6,
+        stringprep.in_table_c7,
+        stringprep.in_table_c8,
+        stringprep.in_table_c9,
+    )
+    if prohibit_unassigned_code_points:
+        prohibited = (*prohibited, stringprep.in_table_a1)
+
+    data = "".join(
+        " " if stringprep.in_table_c12(ch) else ch
+        for ch in data
+        if not stringprep.in_table_b1(ch)
+    )
+    data = unicodedata.ucd_3_2_0.normalize("NFKC", data)
+    if not data:
+        return data
+
+    if stringprep.in_table_d1(data[0]):
+        if not stringprep.in_table_d1(data[-1]):
+            raise EncryptionError("SASLprep: failed bidirectional check")
+        prohibited = (*prohibited, stringprep.in_table_d2)
+    else:
+        prohibited = (*prohibited, stringprep.in_table_d1)
+
+    for ch in data:
+        if any(check(ch) for check in prohibited):
+            raise EncryptionError("SASLprep: failed prohibited character check")
+    return data
+
+
 def _unpad_aes(plaintext: bytes) -> bytes:
     """Strip the PDF 1.7 §7.6.2 block pad (16 - M mod 16 bytes, each equal
     to the pad length) from decrypted object data; tolerate absent/invalid
@@ -267,10 +316,7 @@ class SecurityHandlerV5(SecurityHandlerV4):
 
     def _normalize_password(self, password: str) -> bytes:
         if self.r == 6 and password:
-            import unicodedata
-
-            # SASLprep ~= NFKC normalization for the common (printable) case
-            password = unicodedata.normalize("NFKC", password)
+            password = saslprep(password)
         return password.encode("utf-8")[:127]
 
     def _pw_hash(self, password: bytes, salt: bytes, vector: bytes = b"") -> bytes:

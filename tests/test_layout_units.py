@@ -237,3 +237,42 @@ def test_huge_int_operand_does_not_crash_turn():
         b"trailer<</Root 1 0 R>>\n"
     )
     assert "hi" in extract_text(pdf)
+
+
+def test_saslprep_differential():
+    """RFC 4013 SASLprep for r6 unicode passwords: agree with the
+    reference on 1500 random unicode strings (output or rejection);
+    where mapping empties the string the reference IndexErrors and we
+    return the empty string."""
+    import random
+    import sys
+
+    from pdfminer_six_spark.core.crypto import EncryptionError, saslprep
+
+    sys.path.insert(0, "/root/reference")
+    from pdfminer._saslprep import saslprep as ref_saslprep
+    from pdfminer.pdfexceptions import PDFValueError
+
+    rng = random.Random(7)
+    pools = [range(0x20, 0x7F), range(0xA0, 0x300), range(0x590, 0x700),
+             range(0x2000, 0x2070),
+             [0xAD, 0x200B, 0x200E, 0x202E, 0xFEFF, 0xE000, 0x1A, 0x3000]]
+    for _ in range(1500):
+        s = "".join(
+            chr(rng.choice(list(rng.choice(pools))))
+            for _ in range(rng.randint(1, 12))
+        )
+        try:
+            a = ("ok", saslprep(s))
+        except EncryptionError:
+            a = ("err",)
+        try:
+            b = ("ok", ref_saslprep(s))
+        except PDFValueError:
+            b = ("err",)
+        except IndexError:
+            b = ("ok", "")  # reference crashes on empty-after-map
+        assert a == b, repr(s)
+    # known mappings: NBSP -> space, soft hyphen -> removed
+    assert saslprep("a b") == "a b"
+    assert saslprep("a­b") == "ab"
