@@ -543,6 +543,10 @@ class CIDFont(Font):
                 )
                 if isinstance(inner, Name):
                     cmap_name = name_str(inner)
+                elif isinstance(inner, str):
+                    # the reference's literal_name coerces plain strings
+                    # too (pdffont.py:1205-1210 via psparser literal_name)
+                    cmap_name = inner
         cmap_name = _IDENTITY_ALIASES.get(cmap_name, cmap_name)
         try:
             return cm.CMapDB.get_cmap(cmap_name)
