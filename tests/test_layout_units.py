@@ -276,3 +276,26 @@ def test_saslprep_differential():
     # known mappings: NBSP -> space, soft hyphen -> removed
     assert saslprep("a b") == "a b"
     assert saslprep("a­b") == "ab"
+
+
+def test_plane_reference_cases():
+    """The reference's Plane unit fixtures (tests/test_utils.py:45-78)."""
+    from pdfminer_six_spark.core.layout import LTComponent
+
+    def mk(object_size=50, gridsize=50):
+        plane = Plane((0, 0, 100, 100), gridsize)
+        obj = LTComponent((0, 0, object_size, object_size))
+        plane.add(obj)
+        return plane, obj
+
+    plane, _ = mk()
+    assert list(plane.find((50, 50, 100, 100))) == []
+    plane, obj = mk()
+    plane.remove(obj)
+    assert list(plane.find((0, 0, 100, 100))) == []
+    plane, obj = mk()
+    assert list(plane.find((0, 0, 100, 100))) == [obj]
+    plane, obj = mk(object_size=1, gridsize=100)
+    assert list(plane.find((0, 0, 100, 100))) == [obj]
+    plane, obj = mk(object_size=100, gridsize=10)
+    assert list(plane.find((0, 0, 100, 100))) == [obj]
