@@ -303,3 +303,67 @@ def test_ivf_topk_recall(spark):
     assert len(ivf) == len(exact)
     # approximate by design: require decent recall, deterministic via seed
     assert len(exact & ivf) / len(exact) >= 0.6
+
+
+def test_windowed_turn_metrics_with_late_data(spark, tmp_path):
+    """Watermarked tumbling-window metrics: in-order turns aggregate per
+    (window, conv); a turn arriving later but within the watermark still
+    lands in its event-time window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import windowed_turn_metrics
+
+    src = tmp_path / "wm_in"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(str(src / name))
+
+    write("f1.parquet", [
+        ("c1", 0, "user", "a", "", t0),
+        ("c1", 1, "assistant", "b", "pdf", t0 + dt.timedelta(minutes=10)),
+        ("c1", 2, "user", "c", "", t0 + dt.timedelta(hours=3)),
+    ])
+    # batch 2: a LATE turn for the first window — watermark after batch 1
+    # is t0+1h, and the window's end (t0+1h) is not yet expired, so this
+    # within-lateness turn must still be counted (the point of watermarks)
+    write("f2.parquet", [
+        ("c1", 3, "user", "late-ok", "", t0 + dt.timedelta(minutes=20)),
+        ("c1", 4, "user", "d", "pdf", t0 + dt.timedelta(hours=3, minutes=5)),
+        ("c1", 5, "user", "end", "", t0 + dt.timedelta(hours=9)),
+    ])
+    # batch 3: a TOO-LATE turn — watermark is now t0+7h, the first
+    # window's state is expired, so this one is dropped
+    write("f3.parquet", [
+        ("c1", 6, "user", "too-late", "", t0 + dt.timedelta(minutes=5)),
+        ("c1", 7, "user", "z", "", t0 + dt.timedelta(hours=12)),
+    ])
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        windowed_turn_metrics(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory").queryName("wm_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r.window_start, r.conv_id): r
+        for r in spark.sql("select * from wm_test").collect()
+    }
+    first = rows[(t0, "c1")]
+    # 3 = two in-order + the within-lateness turn; too-late turn dropped
+    assert first.n_turns == 3 and first.n_pdf_turns == 1
+    third = rows[(t0 + dt.timedelta(hours=3), "c1")]
+    assert third.n_turns == 2 and third.n_pdf_turns == 1
