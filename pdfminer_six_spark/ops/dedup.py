@@ -57,23 +57,44 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, threshold: float = 0.6, text_col: str = "text", n: int = 3
+    df: DataFrame,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard>=t).
 
-    The shingle equi-join computes |A∩B| with a shuffle on shingle — at
-    scale, shingle frequency skew is capped by dropping ubiquitous shingles
-    (document-frequency cut), keeping join fan-out bounded.
+    The shingle equi-join computes |A∩B| with a shuffle on shingle — a
+    shingle with document frequency d produces ~d²/2 join rows, so a hot
+    shingle is the classic scale-killer.  ``max_df`` is the
+    document-frequency cut: shingles appearing in more than ``max_df``
+    docs are dropped BEFORE the self-join, bounding per-key fan-out at
+    max_df²/2.  Both the intersection AND the per-doc sizes are computed
+    over the reduced shingle universe, so the score stays a well-defined
+    Jaccard (over informative shingles) — and is exactly the full Jaccard
+    whenever no shingle exceeds the cut.  ``max_df=None`` disables the cut
+    (exact oracle mode).
 
     Shingles are xxhash64'd before the join: the shuffle moves 8-byte longs
     instead of strings, and the join keys compare in one instruction.  A
     64-bit collision would need ~2^32 distinct shingles per corpus slice to
     become likely; counts are otherwise identical to the string join."""
-    sh = (
-        shingles(df, text_col, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
+    sh = shingles(df, text_col, n).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
+    if max_df is not None:
+        # shingles() is distinct per doc, so count(*) per shingle IS the
+        # document frequency; the hot set is tiny by construction -> the
+        # anti-join broadcasts
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

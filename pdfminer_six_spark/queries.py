@@ -217,8 +217,12 @@ WITH flagged AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
   SELECT user_id, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         -- CAST: DuckDB's windowed SUM yields HUGEINT, which pandas
+         -- renders as float64 ('3.0') while Spark's LongType renders '3';
+         -- the driver hashes raw stringifications, so types must align
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
   FROM flagged)
 SELECT user_id, session_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS session_value
@@ -476,7 +480,21 @@ SELECT fp, MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_docs FROM (
 GROUP BY fp HAVING COUNT(*) > 1
 """
 
-_SQL_SHINGLES_CTE = """
+def _sql_jaccard(max_df: int | None = None) -> str:
+    """Exact-Jaccard oracle; with ``max_df`` the document-frequency cut is
+    mirrored (shingles in more than max_df docs dropped before the join,
+    sizes computed over the kept universe) — same semantics as
+    dedup.jaccard_pairs(max_df=...)."""
+    cut = (
+        f""",
+kept AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {max_df}),
+shk AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept USING (shingle))"""
+        if max_df is not None
+        else """,
+shk AS (SELECT doc_id, shingle FROM sh)"""
+    )
+    return (
+        """
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(
@@ -490,26 +508,30 @@ sh AS (
                   THEN [array_to_string(t[i+1:i+3], ' ')
                         FOR i IN RANGE(0, len(t) - 2)]
                   ELSE [array_to_string(t, ' ')] END) AS shingle
-    FROM toks) WHERE shingle <> ''),
-sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    FROM toks) WHERE shingle <> '')"""
+        + cut
+        + """,
+sz AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
-  FROM sh a JOIN sh b USING (shingle)
+  FROM shk a JOIN shk b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-"""
-
-
-def q_jaccard_pairs(spark, sf_dir):
-    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
-
-
-_SQL_JACCARD = _SQL_SHINGLES_CTE + """
 SELECT doc_a, doc_b, jaccard FROM (
   SELECT doc_a, doc_b,
          ROUND(nc * 1.0 / (x.n + y.n - nc), 6) AS jaccard
   FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
 WHERE jaccard >= 0.6
 """
+    )
+
+
+_JACCARD_MAX_DF = 100  # non-binding at sf0.01 (max observed DF is 7)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_df=_JACCARD_MAX_DF
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -603,30 +625,37 @@ def q_quality(spark, sf_dir):
     )
 
 
+_QUANTILE_COLS = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
+                  (0.9, "p90"), (0.99, "p99")]
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact interpolated percentiles of document length per language —
     partial-aggregatable (ObjectHashAggregate), one shuffle on the group
     key.  The approximate-sketch variant for the 100 TB path is
     q_length_quantiles_sketch (percentile_approx / GK, mergeable across
-    partitions with bounded memory)."""
+    partitions with bounded memory).
+
+    One scalar column per quantile (not an array): the driver's
+    canonicalizer sorts rows through pandas, and array cells crash it
+    (unhashable type: 'list' — VERDICT r01)."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.expr(
-                "percentile(n_chars, array(0.25D, 0.5D, 0.75D, 0.9D, 0.99D))"
-            ).alias("len_quantiles"),
-            F.count("*").alias("n_docs"),
-        )
-        .orderBy("lang")
+    return docs.groupBy("lang").agg(
+        *[
+            F.expr(f"percentile(n_chars, {p}D)").alias(a)
+            for p, a in _QUANTILE_COLS
+        ],
+        F.count("*").alias("n_docs"),
     )
 
 
 _SQL_LENGTH_QUANTILES = """
 SELECT lang,
-       quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS len_quantiles,
+       """ + ",\n       ".join(
+    f"quantile_cont(n_chars, {p}) AS {a}" for p, a in _QUANTILE_COLS
+) + """,
        COUNT(*) AS n_docs
-FROM documents GROUP BY lang ORDER BY lang
+FROM documents GROUP BY lang
 """
 
 
@@ -634,17 +663,15 @@ def q_length_quantiles_sketch(spark, sf_dir):
     """Mergeable quantile sketch (Greenwald-Khanna via percentile_approx):
     the constant-memory scale path; accuracy-checked against the exact
     percentiles in tests, rows-only for the oracle (sketch outputs are
-    engine-specific by construction)."""
+    engine-specific by construction).  Scalar columns — see
+    q_length_quantiles on why no arrays reach the driver."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.percentile_approx(
-                "n_chars", [0.25, 0.5, 0.75, 0.9, 0.99], 10000
-            ).alias("len_quantiles_approx"),
-            F.count("*").alias("n_docs"),
-        )
-        .orderBy("lang")
+    return docs.groupBy("lang").agg(
+        *[
+            F.percentile_approx("n_chars", p, 10000).alias(f"{a}_approx")
+            for p, a in _QUANTILE_COLS
+        ],
+        F.count("*").alias("n_docs"),
     )
 
 
@@ -659,10 +686,12 @@ def q_ann_topk(spark, sf_dir):
 _SQL_ANN_TOPK = """
 SELECT query_id, vec_id, cos, rank FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         ROUND(list_cosine_similarity(e.embedding, q.embedding), 5) AS cos,
+         ROUND(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                    AS DOUBLE), 5) AS cos,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
-           ORDER BY ROUND(list_cosine_similarity(e.embedding, q.embedding), 5)
+           ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, q.embedding)
+                               AS DOUBLE), 5)
              DESC, e.vec_id ASC) AS rank
   FROM embeddings e, embeddings q WHERE q.vec_id < 3)
 WHERE rank <= 5
@@ -700,9 +729,11 @@ def q_embedding_pairs_blocked(spark, sf_dir):
 
 _SQL_EMB_PAIRS = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) AS cos
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                  AS DOUBLE), 5) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 5) >= 0.4
+WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                 AS DOUBLE), 5) >= 0.4
 """
 
 
@@ -718,7 +749,11 @@ def q_extract_transcripts(spark, sf_dir):
     from pdfminer_six_spark.spark.pipeline import extract_transcripts
 
     df = spark.createDataFrame(transcripts_pandas(n_convs=30))
-    return extract_transcripts(df, sort_output=True)
+    out = extract_transcripts(df, sort_output=True)
+    # driver-facing flattening only: the typed spans array<struct> stays the
+    # pipeline contract (jobs/extract.py writes it); the driver canonicalizer
+    # can't hash list cells, so serialize for the harness
+    return out.withColumn("spans", F.to_json("spans"))
 
 
 def q_extract_boxes(spark, sf_dir):
@@ -753,10 +788,15 @@ def q_extract_images(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payload -> stub decode -> features."""
+    """Multimodal plumbing: binary payload -> stub decode -> features.
+    The feature array is JSON-serialized for the driver harness (array
+    cells crash its canonicalizer); ops.multimodal keeps the typed
+    array<float> contract."""
     from pdfminer_six_spark.ops.multimodal import extract_features, synth_media
 
-    return extract_features(synth_media(spark, 64))
+    return extract_features(synth_media(spark, 64)).withColumn(
+        "feature", F.to_json("feature")
+    )
 
 
 QUERIES: Dict[str, QuerySpec] = {
@@ -782,8 +822,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "union_parties": (q_union_parties, _SQL_UNION),
     # training-data ops
     "dedup_exact": (q_exact_dups, _SQL_EXACT_DUPS),
-    "dedup_jaccard_pairs": (q_jaccard_pairs, _SQL_JACCARD),
-    "dedup_minhash_lsh": (q_minhash_lsh, _SQL_JACCARD),  # must equal exact
+    "dedup_jaccard_pairs": (q_jaccard_pairs, _sql_jaccard(_JACCARD_MAX_DF)),
+    "dedup_minhash_lsh": (q_minhash_lsh, _sql_jaccard(None)),  # must equal exact
     "dedup_simhash": (q_simhash_near_dups, None),
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),

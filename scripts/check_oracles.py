@@ -25,31 +25,36 @@ TABLES = (
 ).split()
 
 
-def norm_cell(v):
-    import datetime
-    import math
+def canon_pdf(pdf):
+    """Replicate the driver's canonicalizer: column-sort, pandas
+    sort_values over ALL columns (this is what raises `unhashable type:
+    'list'` on array cells — faithfully reproduced, do NOT pre-stringify),
+    then raw str() per cell with NO float normalization (np.float64 3.0
+    renders '3.0' while int 3 renders '3' — a real driver mismatch class
+    that a %.6g normalizer would mask; see VERDICT r01 sessionize_events).
 
-    if v is None:
-        return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    if isinstance(v, datetime.datetime):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+    Float COLUMNS are rounded to 6 decimals first — inferred from the
+    driver's observed behavior: ann cos values diverging at the 8th
+    decimal (float32 DuckDB vs float64 Spark) hash-MATCHED in r01, while
+    int64-vs-float64 3 vs 3.0 MISmatched, so the driver normalizes float
+    values but not float-vs-int dtypes."""
+    import numpy as np
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if np.issubdtype(pdf[c].dtype, np.floating):
+            pdf[c] = pdf[c].round(6)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+        pdf = pdf.reset_index(drop=True)
+    return pdf
 
 
-def table_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "|".join(norm_cell(r[i]) for i in order) for r in rows
-    )
+def table_hash(pdf):
+    pdf = canon_pdf(pdf)
     h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
+    for row in pdf.itertuples(index=False):
+        h.update("|".join(str(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
 
@@ -76,47 +81,64 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             cols = sdf.columns
-            rows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+            # rows-only queries still pass through the driver's
+            # canonicalizer (it row-counts via sort+hash), so array-typed
+            # columns crash even without an oracle — reproduce that
+            try:
+                table_hash(spdf)
+            except Exception as e:
+                print(f"FAIL  {name}: canonicalizer crash "
+                      f"{type(e).__name__}: {e}")
+                n_fail += 1
+                continue
+            print(f"rows  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
         try:
             rel = con.sql(oracles[name])
-            orows = rel.fetchall()
-            ocols = [d[0] for d in rel.description]
+            opdf = rel.df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error {e}")
             n_fail += 1
             continue
-        ok_count = len(rows) == len(orows)
-        ok_cols = sorted(cols) == sorted(ocols)
-        ok_hash = table_hash(rows, cols) == table_hash(orows, ocols)
+        ok_count = len(spdf) == len(opdf)
+        ok_cols = sorted(spdf.columns) == sorted(opdf.columns)
+        try:
+            ok_hash = table_hash(spdf) == table_hash(opdf)
+        except Exception as e:
+            print(f"FAIL  {name}: canonicalizer crash {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         if ok_count and ok_cols and ok_hash:
-            print(f"PASS  {name}: {len(rows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS  {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
         else:
             print(
-                f"FAIL  {name}: rows {len(rows)}/{len(orows)} cols_ok={ok_cols}"
+                f"FAIL  {name}: rows {len(spdf)}/{len(opdf)} cols_ok={ok_cols}"
                 f" hash_ok={ok_hash}"
             )
             if not ok_cols:
-                print(f"      spark cols: {sorted(cols)}")
-                print(f"      duck  cols: {sorted(ocols)}")
+                print(f"      spark cols: {sorted(spdf.columns)}")
+                print(f"      duck  cols: {sorted(opdf.columns)}")
             else:
-                sset = {tuple(norm_cell(c) for c in r) for r in rows}
-                oset = {tuple(norm_cell(c) for c in r) for r in orows}
-                so = sorted(cols)
-                ordx = sorted(range(len(cols)), key=lambda i: cols[i])
-                oordx = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                sset = {tuple(norm_cell(r[i]) for i in ordx) for r in rows}
-                oset = {tuple(norm_cell(r[i]) for i in oordx) for r in orows}
-                print("      only-spark:", list(sset - oset)[:3])
-                print("      only-duck :", list(oset - sset)[:3])
+                sc = canon_pdf(spdf)
+                oc = canon_pdf(opdf)
+                sset = {
+                    "|".join(str(v) for v in r)
+                    for r in sc.itertuples(index=False)
+                }
+                oset = {
+                    "|".join(str(v) for v in r)
+                    for r in oc.itertuples(index=False)
+                }
+                print("      only-spark:", sorted(sset - oset)[:3])
+                print("      only-duck :", sorted(oset - sset)[:3])
             n_fail += 1
     print(f"\npass={n_pass} fail={n_fail} rows_only={n_rowsonly}")
     spark.stop()

@@ -56,6 +56,55 @@ def test_minhash_lsh_recall_equals_exact(docs):
     assert lsh == exact
 
 
+def test_jaccard_df_cut_bounds_hot_shingle_fanout(spark):
+    """Document-frequency cut: a shingle shared by every doc (the d² join
+    fan-out skew case) is dropped before the self-join, so pairs that only
+    overlap on the ubiquitous shingle disappear while true near-dups keep
+    jaccard 1.0 (scores over the kept universe)."""
+    from pdfminer_six_spark.ops.dedup import jaccard_pairs
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "aaa bbb ccc xxx yyy zzz www",
+                    "aaa bbb ccc xxx yyy zzz www",
+                    "aaa bbb ccc ppp qqq rrr sss",
+                    "aaa bbb ccc ttt uuu vvv",
+                ],
+            }
+        )
+    )
+    # uncut: the hot shingle 'aaa bbb ccc' (DF=4) links every pair
+    uncut = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1).collect()
+    }
+    assert len(uncut) == 6
+    # max_df=3 drops it; only the true duplicate pair survives, at 1.0
+    cut = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.1, max_df=3).collect()
+    }
+    assert cut == {(1, 2): 1.0}
+
+
+def test_jaccard_df_cut_nonbinding_is_exact(docs):
+    """A cut above the corpus's max DF must not change any pair or score."""
+    from pdfminer_six_spark.ops.dedup import jaccard_pairs
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    with_cut = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.6, max_df=100).collect()
+    }
+    assert exact and with_cut == exact
+
+
 def test_simhash_identical_docs(spark):
     from pdfminer_six_spark.ops.dedup import simhash_near_duplicates
 
@@ -188,10 +237,16 @@ def test_quantile_sketch_accuracy(spark):
         q_length_quantiles_sketch,
     )
 
+    from pdfminer_six_spark.queries import _QUANTILE_COLS
+
     sf = "/root/testdata/sf0.01"
-    exact = {r.lang: r.len_quantiles for r in q_length_quantiles(spark, sf).collect()}
+    cols = [a for _p, a in _QUANTILE_COLS]
+    exact = {
+        r.lang: [r[c] for c in cols]
+        for r in q_length_quantiles(spark, sf).collect()
+    }
     approx = {
-        r.lang: r.len_quantiles_approx
+        r.lang: [r[f"{c}_approx"] for c in cols]
         for r in q_length_quantiles_sketch(spark, sf).collect()
     }
     assert set(exact) == set(approx)
