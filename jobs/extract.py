@@ -82,11 +82,17 @@ def main() -> None:
 
     transcripts = spark.read.parquet(args.input)
     if args.resume:
+        from pyspark.errors import AnalysisException
+
         try:
             done = spark.read.parquet(args.output)
             transcripts = resume_filter(transcripts, done)
-        except Exception:
-            pass  # no committed output yet: full run
+        except AnalysisException as e:
+            # only a missing output means "first run"; any other read error
+            # (permissions, corrupt footer) must NOT silently downgrade to
+            # a full re-run — mode('append') would duplicate committed rows
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
     extracted = extract_transcripts(
         transcripts,
         password=args.password,

@@ -146,16 +146,23 @@ def embedding_near_duplicates(
 
 
 def embedding_near_duplicates_blocked(
-    embeddings: DataFrame, threshold: float = 0.4, round_digits: int = 5
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    round_digits: int = 5,
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Vectorized scale path for the exact pair search: each partition's
-    block of vectors is scored against the full (broadcast) matrix with one
-    numpy matmul inside an Arrow-batched mapInPandas — turning 25M Python
-    cosine evaluations into a handful of BLAS calls.
+    """Distributed exact pair search — block×block matmul, no driver-side
+    collect anywhere (the r01 review's objection to the previous
+    full-matrix-broadcast form).
 
-    Output contract matches embedding_near_duplicates (vec_a < vec_b,
-    cos rounded).  At corpus sizes where the matrix no longer broadcasts,
-    swap the broadcast side for the hyperplane-bucket join.
+    Vectors hash into ``n_blocks`` blocks; each vector is replicated to the
+    ``n_blocks`` block-pairs it participates in (shuffle volume = n_blocks ×
+    corpus), and one ``applyInPandas`` task per (g1, g2) pair scores the
+    cross product with a single numpy/BLAS matmul.  Per-task memory is the
+    (n/n_blocks)² cos tile — pick n_blocks ≈ sqrt(n²·8B / task_budget), so
+    the job scales by adding blocks, never by growing any single node.
+    Output contract matches embedding_near_duplicates exactly (vec_a <
+    vec_b, cos rounded) — the oracle stays the exact SQL pair join.
     """
     import numpy as np
     import pandas as pd
@@ -166,15 +173,6 @@ def embedding_near_duplicates_blocked(
         StructType,
     )
 
-    pdf = embeddings.select("vec_id", "embedding").toPandas()
-    ids = pdf.vec_id.to_numpy()
-    mat = np.vstack(pdf.embedding.to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    sc = embeddings.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
-    b_norms = sc.broadcast(norms)
-
     schema = StructType(
         [
             StructField("vec_a", LongType()),
@@ -183,29 +181,67 @@ def embedding_near_duplicates_blocked(
         ]
     )
 
-    def run(batches):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        all_norms = b_norms.value
-        for b in batches:
-            block_ids = b["vec_id"].to_numpy()
-            block = np.vstack(b["embedding"].to_numpy()).astype(np.float64)
-            bn = np.linalg.norm(block, axis=1)
-            cos = np.round(
-                (block @ all_mat.T) / np.outer(bn, all_norms), round_digits
-            )
-            rows_i, cols_j = np.nonzero(
-                (cos >= threshold) & (block_ids[:, None] < all_ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": block_ids[rows_i].astype("int64"),
-                    "vec_b": all_ids[cols_j].astype("int64"),
-                    "cos": cos[rows_i, cols_j],
-                }
-            )
+    tagged = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # vector in block p joins block-pair (min(p,j), max(p,j)) for every j —
+    # each unordered pair key exactly once per vector
+    rep = tagged.select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.explode(F.array(*[F.lit(j) for j in range(n_blocks)])).alias("other"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "blk",
+        F.least("blk", "other").alias("g1"),
+        F.greatest("blk", "other").alias("g2"),
+    )
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(run, schema)
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = int(key[0]), int(key[1])
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series(dtype="int64"),
+                "vec_b": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        ids = pdf["vec_id"].to_numpy()
+        blks = pdf["blk"].to_numpy()
+        a_idx = np.nonzero(blks == g1)[0]
+        b_idx = a_idx if g1 == g2 else np.nonzero(blks == g2)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return empty
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = np.round(
+            (mat[a_idx] @ mat[b_idx].T) / np.outer(norms[a_idx], norms[b_idx]),
+            round_digits,
+        )
+        ia_all = ids[a_idx]
+        ib_all = ids[b_idx]
+        mask = cos >= threshold
+        if g1 == g2:
+            # within-block: keep each unordered pair once via id order
+            mask &= ia_all[:, None] < ib_all[None, :]
+        ri, cj = np.nonzero(mask)
+        if len(ri) == 0:
+            return empty
+        ia = ia_all[ri]
+        ib = ib_all[cj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib).astype("int64"),
+                "vec_b": np.maximum(ia, ib).astype("int64"),
+                "cos": cos[ri, cj],
+            }
+        )
+
+    return rep.groupBy("g1", "g2").applyInPandas(score, schema)
 
 
 def ivf_topk(

@@ -128,12 +128,8 @@ def jaccard_pairs(
     return out
 
 
-def minhash_signatures(
-    df: DataFrame, num_hashes: int = 16, text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """(doc_id, sig array<long>) — minhash over shingles with k seeded
-    xxhash64 functions (seed via per-function prefix)."""
-    sh = shingles(df, text_col, n)
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """minhash signatures from a prepared (doc_id, shingle) relation."""
     aggs = [
         F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(
             f"h{i}"
@@ -146,17 +142,32 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 16, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sig array<long>) — minhash over shingles with k seeded
+    xxhash64 functions (seed via per-function prefix)."""
+    return _signatures_from_shingles(shingles(df, text_col, n), num_hashes)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 16,
     bands: int = 8,
     text_col: str = "text",
     n: int = 3,
+    _shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
-    The O(n²) similarity join becomes an equi-join on (band, band_hash)."""
+    The O(n²) similarity join becomes an equi-join on (band, band_hash).
+    ``_shingle_rel`` lets minhash_near_duplicates pass an already-persisted
+    shingle relation so signature-building and exact verification share one
+    shingle computation."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, text_col, n)
+    sig = _signatures_from_shingles(
+        _shingle_rel if _shingle_rel is not None else shingles(df, text_col, n),
+        num_hashes,
+    )
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -197,13 +208,17 @@ def minhash_near_duplicates(
     computed ONLY for the candidate pairs (the whole point of banding:
     verification cost ∝ candidates, not ∝ all co-occurring pairs).
     Equals jaccard_pairs when LSH recall is 1 (verified in tests)."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands)
+    # the shingle relation (normalize -> tokenize -> n-gram explode ->
+    # distinct, the expensive subplan incl. its shuffle) feeds BOTH the
+    # signature aggregation and the exact verification sets — persist it
+    # once instead of recomputing (VERDICT r01 item 6)
+    sh = shingles(df).persist()
+    cand = minhash_lsh_candidates(df, num_hashes, bands, _shingle_rel=sh)
     # shingles() is distinct per doc, so |set| IS the shingle count — one
     # aggregation serves both the set and its size (no separate count
     # branch, two fewer join shuffles)
     sh_sets = (
-        shingles(df)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sset"))
     )

@@ -773,14 +773,25 @@ def q_extract_images(spark, sf_dir):
     never shuffle).  Exercises the CCITT G4 decoder, the JBIG2 standalone
     wrap, and the BMP assembly — each byte-checked against the reference's
     exports in tests/test_image_export.py."""
+    import functools
+    import os
+
     from pdfminer_six_spark.spark.sources import (
         extract_images_corpus,
         read_pdf_corpus,
     )
 
-    corpus = read_pdf_corpus(spark, "/root/reference/samples/contrib").unionByName(
-        read_pdf_corpus(spark, "/root/reference/samples/nonfree")
-    ).unionByName(read_pdf_corpus(spark, "/root/reference/samples/encryption"))
+    # corpus root is configurable so the query is not coupled to one box's
+    # checkout layout; the default matches this environment
+    base = os.environ.get("PDF_SAMPLES_DIR", "/root/reference/samples")
+    subdirs = [
+        d for d in ("contrib", "nonfree", "encryption")
+        if os.path.isdir(os.path.join(base, d))
+    ] or ["."]
+    corpus = functools.reduce(
+        lambda a, b: a.unionByName(b),
+        [read_pdf_corpus(spark, os.path.join(base, d)) for d in subdirs],
+    )
     return (
         extract_images_corpus(corpus)
         .orderBy("path", "page", "name", "sha256")

