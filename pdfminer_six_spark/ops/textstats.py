@@ -61,7 +61,14 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length/punct/stopword-ratio quality heuristic in [0,1]."""
+    """Length/punct/stopword-ratio quality heuristic in [0,1].
+
+    No decimal ROUND anywhere: the weighted sum lands on exact .xxxx5
+    decimal ties for a large fraction of real inputs, where Spark's
+    HALF_UP (on the shortest decimal repr) and an oracle's binary
+    rounding disagree.  Plain IEEE double arithmetic evaluated in the
+    same order is bit-identical across engines — rounding is the only
+    source of divergence, so it's omitted by design."""
     stats = with_token_stats(df, text_col)
     lower_toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -69,23 +76,17 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "stopword_ratio",
         F.when(
             F.col("n_tokens") > 0,
-            F.round(
-                F.size(F.filter(lower_toks, lambda t: F.array_contains(en_stop, t)))
-                / F.col("n_tokens"),
-                4,
-            ),
+            F.size(F.filter(lower_toks, lambda t: F.array_contains(en_stop, t)))
+            / F.col("n_tokens"),
         ).otherwise(F.lit(0.0)),
     )
     return stats.withColumn(
         "quality",
-        F.round(
-            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
-            + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
-            + F.when(F.col("n_tokens") > 0, 1.0 - F.least(
-                F.col("n_punct") / F.col("n_tokens"), F.lit(1.0))
-            ).otherwise(F.lit(0.0)) * 0.2,
-            4,
-        ),
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+        + F.when(F.col("n_tokens") > 0, 1.0 - F.least(
+            F.col("n_punct") / F.col("n_tokens"), F.lit(1.0))
+        ).otherwise(F.lit(0.0)) * 0.2,
     )
 
 

@@ -625,6 +625,41 @@ def q_quality(spark, sf_dir):
     )
 
 
+def _sql_quality() -> str:
+    """Mirror of textstats.quality_score.  Deliberately NO decimal ROUND
+    on either side: the weighted sum hits exact .xxxx5 ties on a large
+    fraction of rows, where Spark's HALF_UP and DuckDB's binary rounding
+    disagree; identical IEEE double expressions evaluated in the same
+    order are bit-identical instead."""
+    stop = ", ".join(f"'{w}'" for w in textstats.STOPWORDS["en"])
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+           AS n_punct,
+         len(list_filter(list_transform(t, x -> LOWER(x)),
+                         x -> list_contains([{stop}], x))) AS n_stop
+  FROM toks),
+r AS (
+  SELECT doc_id, n_tokens, n_punct,
+         CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens
+              ELSE 0.0 END AS stopword_ratio
+  FROM s)
+SELECT doc_id, stopword_ratio,
+       LEAST(n_tokens / 100.0, 1.0) * 0.5
+       + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+       + CASE WHEN n_tokens > 0
+              THEN 1.0 - LEAST(CAST(n_punct AS DOUBLE) / n_tokens, 1.0)
+              ELSE 0.0 END * 0.2 AS quality
+FROM r
+"""
+
+
 _QUANTILE_COLS = [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"),
                   (0.9, "p90"), (0.99, "p99")]
 
@@ -839,7 +874,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
     "text_language_id": (q_language_id, _lang_sql()),
-    "text_quality": (q_quality, None),
+    "text_quality": (q_quality, _sql_quality()),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_topk_cosine": (q_ann_topk, _SQL_ANN_TOPK),
