@@ -114,3 +114,38 @@ def test_extract_images_is_scan_plus_udf(spark):
     plan = _plan(extract_images_corpus(corpus))
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
+
+
+def test_blocked_embedding_pairs_plan_is_distributed(spark):
+    """The blocked exact pair search must contain NO driver-side collect
+    artifacts: the plan is scan -> block replicate (explode) -> one
+    shuffle on the block-pair key -> grouped pandas matmul.  No cartesian
+    product, no broadcast of the corpus."""
+    from pdfminer_six_spark.ops.ann import embedding_near_duplicates_blocked
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(embedding_near_duplicates_blocked(emb, threshold=0.4))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan
+    # exactly the one block-pair shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_layout_tables_single_kernel_pass(spark):
+    """All three layout views must read one shared (persisted) tagged
+    union — exactly one MapInPandas subtree, no per-relation kernel."""
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.spark.pipeline import extract_layout_tables
+
+    df = spark.createDataFrame(
+        transcripts_pandas(n_convs=2, use_reference_samples=False)
+    )
+    t = extract_layout_tables(df)
+    try:
+        for rel in ("chars", "lines", "boxes"):
+            plan = _plan(t[rel])
+            assert "InMemoryTableScan" in plan, rel
+            assert plan.count("MapInPandas") <= 1, rel
+    finally:
+        t["_union"].unpersist()
