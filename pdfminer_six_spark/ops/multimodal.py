@@ -98,6 +98,97 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),   # re-encoded bytes
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize images to (width, height) — Arrow-batched mapInPandas with
+    the same schema in and out, so it composes with extract_features.
+
+    The pixel math is the STUB path (decode -> numpy stride resample ->
+    deterministic re-encode); swap ``_decode_stub`` + the byte packing for
+    PIL's ``Image.resize`` in a cluster image and the plumbing (schema,
+    batching, metadata update, non-image passthrough) is unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for row in b.itertuples(index=False):
+                data = bytes(row.payload) if row.payload is not None else b""
+                if row.kind != "image":
+                    out.append(tuple(row))  # passthrough, metadata intact
+                    continue
+                samples = _decode_stub(data, row.kind)
+                # stride resample to width*height "pixels" (stub for a
+                # real bilinear resize over decoded pixel rows)
+                n_px = max(width * height, 1)
+                idx = np.linspace(0, len(samples) - 1, n_px).astype(np.int64)
+                resized = samples[idx].astype(np.uint8).tobytes()
+                out.append(
+                    (
+                        int(row.media_id), row.kind, bytearray(resized),
+                        row.mime, width, height, int(row.duration_ms),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("ts_ms", IntegerType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 250) -> DataFrame:
+    """Explode videos into sampled frames (one output row per frame) —
+    the 1:N shape a real frame sampler produces, with payload bytes
+    never shuffled (row-local mapInPandas).  Frame content is the STUB
+    decode sliced per frame; a real pyav/ffmpeg reader drops in at the
+    marked line."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for row in b.itertuples(index=False):
+                if row.kind != "video" or not row.duration_ms:
+                    continue
+                data = bytes(row.payload) if row.payload is not None else b""
+                samples = _decode_stub(data, row.kind)  # <- real decoder here
+                n_frames = max(int(row.duration_ms) // every_ms, 1)
+                chunks = np.array_split(samples, n_frames)
+                for k, chunk in enumerate(chunks):
+                    out.append(
+                        (
+                            int(row.media_id), k,
+                            bytearray(chunk.astype(np.uint8).tobytes()),
+                            k * every_ms,
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAMES_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks."""
     rows = []

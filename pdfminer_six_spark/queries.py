@@ -845,6 +845,33 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_pipeline(spark, sf_dir):
+    """Full multimodal chain (brief verbs: decode -> resize -> frame-sample
+    -> feature-extract): images resized then featurized, videos exploded
+    into sampled frames; one summary row per media_id so the driver can
+    hash it (rows-only — no SQL decodes media)."""
+    from pdfminer_six_spark.ops.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 64)
+    img_feats = (
+        extract_features(resize_media(media.filter(F.col("kind") == "image")))
+        .select(
+            "media_id",
+            F.lit("image_resized").alias("stage"),
+            F.col("n_bytes").alias("n"),
+        )
+    )
+    frames = sample_frames(media).groupBy("media_id").agg(
+        F.count("*").alias("n")
+    ).select("media_id", F.lit("video_frames").alias("stage"), "n")
+    return img_feats.unionByName(frames)
+
+
 QUERIES: Dict[str, QuerySpec] = {
     # relational mirrors
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
@@ -887,4 +914,5 @@ QUERIES: Dict[str, QuerySpec] = {
     "extract_layout_boxes": (q_extract_boxes, None),
     "extract_images": (q_extract_images, None),
     "media_features": (q_media_features, None),
+    "media_pipeline": (q_media_pipeline, None),
 }

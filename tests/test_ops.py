@@ -201,6 +201,51 @@ def test_media_features_shapes(spark):
     assert a == b
 
 
+def test_media_resize_and_frame_sampling(spark):
+    """resize: images get the new dims + deterministically resampled
+    payload, non-images pass through untouched; frame sampling explodes
+    each video into duration/every_ms frames with monotone timestamps."""
+    from pdfminer_six_spark.ops.multimodal import (
+        extract_features,
+        resize_media,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 32)
+    resized = resize_media(media, width=16, height=16).toPandas()
+    assert len(resized) == 32
+    imgs = resized[resized.kind == "image"]
+    assert (imgs.width == 16).all() and (imgs.height == 16).all()
+    assert imgs.payload.map(lambda p: len(bytes(p)) == 16 * 16).all()
+    others = resized[resized.kind != "image"]
+    orig = media.toPandas().set_index("media_id")
+    for row in others.itertuples(index=False):
+        assert bytes(row.payload) == bytes(orig.loc[row.media_id, "payload"])
+    # resize composes with feature extraction (same schema contract)
+    feats = extract_features(
+        resize_media(media.filter("kind = 'image'"), width=16, height=16)
+    ).toPandas()
+    assert (feats.n_bytes == 16 * 16).all()
+    # determinism of the resampled payloads
+    resized2 = resize_media(media, width=16, height=16).toPandas()
+    assert (
+        resized.sort_values("media_id").payload.map(bytes).tolist()
+        == resized2.sort_values("media_id").payload.map(bytes).tolist()
+    )
+
+    frames = sample_frames(media, every_ms=250).toPandas()
+    n_videos = (orig.kind == "video").sum()
+    assert set(frames.media_id) == set(orig[orig.kind == "video"].index)
+    # 1000ms / 250ms = 4 frames per video, timestamps 0,250,500,750
+    assert len(frames) == 4 * n_videos
+    per = frames[frames.media_id == frames.media_id.iloc[0]].sort_values(
+        "frame_idx"
+    )
+    assert per.ts_ms.tolist() == [0, 250, 500, 750]
+    assert per.frame.map(lambda f: len(bytes(f)) > 0).all()
+
+
 def test_streaming_extract_resume(spark, tmp_path):
     """Streaming variant: incremental batches + checkpoint resume."""
     from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
