@@ -28,11 +28,49 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def _read_in(spark, path: str, as_table: bool):
+    """Catalog table (Iceberg/DSv2 — `spark.read.table`) or parquet path.
+    With an Iceberg catalog configured on the cluster
+    (spark.sql.catalog.*=org.apache.iceberg.spark.SparkCatalog) the table
+    branch IS the Iceberg read path; the sandbox tests it against the
+    built-in catalog, which shares the same DataSourceV2 API."""
+    return spark.read.table(path) if as_table else spark.read.parquet(path)
+
+
+def _write_out(df, path: str, as_table: bool) -> None:
+    if as_table:
+        # DSv2 first (the Iceberg path): append, CTAS on the first write.
+        # The built-in session catalog makes v1 tables that writeTo()
+        # refuses — fall back to the equivalent v1 saveAsTable append.
+        msg = ""
+        try:
+            df.writeTo(path).append()
+            return
+        except Exception as e:
+            msg = str(e)
+            if "TABLE_OR_VIEW_NOT_FOUND" in msg:
+                try:
+                    df.writeTo(path).create()
+                    return
+                except Exception as e2:
+                    msg = str(e2)
+        if "v1 table" not in msg and "UNSUPPORTED" not in msg:
+            raise RuntimeError(f"table write failed for {path}: {msg}")
+        df.write.mode("append").saveAsTable(path)
+    else:
+        df.write.mode("append").parquet(path)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=True,
+                    help="parquet path, or table identifier with --tables")
     ap.add_argument("--output", required=True)
     ap.add_argument("--lineage", default=None)
+    ap.add_argument("--tables", action="store_true",
+                    help="treat --input/--output/--lineage as catalog table "
+                         "identifiers (Iceberg etc. via DataSourceV2) "
+                         "instead of parquet paths")
     ap.add_argument("--password", default="")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--rebalance", type=int, default=None,
@@ -44,18 +82,25 @@ def main() -> None:
     ap.add_argument("--images", action="store_true",
                     help="input is a directory of PDFs (binaryFile scan); "
                          "emit one metadata+sha256 row per embedded image")
+    return ap
+
+
+def main() -> None:
+    ap = build_arg_parser()
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
+    spark = SparkSession.builder.appName("pdfminer-six-spark-extract").getOrCreate()
+    run(spark, args, ap)
+
+
+def run(spark, args, ap=None) -> None:
     from pdfminer_six_spark.spark.pipeline import (
-        TRANSCRIPTS_SCHEMA,
         extract_transcripts,
         lineage_metrics,
         resume_filter,
     )
-
-    spark = SparkSession.builder.appName("pdfminer-six-spark-extract").getOrCreate()
 
     if args.images:
         from pdfminer_six_spark.spark.sources import (
@@ -73,25 +118,26 @@ def main() -> None:
         from pdfminer_six_spark.spark.streaming import streaming_extract
 
         if not args.checkpoint:
-            ap.error("--streaming requires --checkpoint")
+            (ap.error if ap else _raise_usage)("--streaming requires --checkpoint")
         q = streaming_extract(
             spark, args.input, args.output, args.checkpoint, trigger_once=True
         )
         q.awaitTermination()
         return
 
-    transcripts = spark.read.parquet(args.input)
+    transcripts = _read_in(spark, args.input, args.tables)
     if args.resume:
         from pyspark.errors import AnalysisException
 
         try:
-            done = spark.read.parquet(args.output)
+            done = _read_in(spark, args.output, args.tables)
             transcripts = resume_filter(transcripts, done)
         except AnalysisException as e:
             # only a missing output means "first run"; any other read error
             # (permissions, corrupt footer) must NOT silently downgrade to
-            # a full re-run — mode('append') would duplicate committed rows
-            if "PATH_NOT_FOUND" not in str(e):
+            # a full re-run — appending would duplicate committed rows
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "TABLE_OR_VIEW_NOT_FOUND" not in str(e)):
                 raise
     extracted = extract_transcripts(
         transcripts,
@@ -101,11 +147,15 @@ def main() -> None:
     )
     if args.lineage:
         extracted = extracted.persist()
-        extracted.write.mode("append").parquet(args.output)
-        lineage_metrics(extracted).write.mode("append").parquet(args.lineage)
+        _write_out(extracted, args.output, args.tables)
+        _write_out(lineage_metrics(extracted), args.lineage, args.tables)
         extracted.unpersist()
     else:
-        extracted.write.mode("append").parquet(args.output)
+        _write_out(extracted, args.output, args.tables)
+
+
+def _raise_usage(msg: str) -> None:
+    raise SystemExit(f"usage error: {msg}")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 64,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Create/tune a session.
 
@@ -46,4 +47,6 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
