@@ -1,0 +1,128 @@
+"""Property tests for the distributed training-data ops: the blocked /
+cut / bucketed scale paths must equal their exact counterparts on
+randomized inputs, not just on the fixture corpus."""
+
+import math
+import random
+
+import pandas as pd
+import pytest
+
+pyspark = pytest.importorskip("pyspark")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pdfminer_six_spark.spark.session import build_session
+
+    s = build_session(app_name="ops-prop-test", master="local[4]",
+                      shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+def _rand_embeddings(rng, n, dim=6):
+    # cluster some vectors so near-threshold pairs exist
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(max(n // 4, 1))]
+    rows = []
+    for i in range(n):
+        if rng.random() < 0.5:
+            b = rng.choice(base)
+            v = [x + rng.gauss(0, 0.3) for x in b]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+    return rows
+
+
+def _exact_pairs(rows, threshold):
+    out = set()
+    for i, (ida, va) in enumerate(rows):
+        na = math.sqrt(sum(x * x for x in va))
+        for idb, vb in rows[i + 1:]:
+            nb = math.sqrt(sum(x * x for x in vb))
+            cos = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+            if round(cos, 5) >= threshold:
+                out.add((ida, idb))
+    return out
+
+
+@pytest.mark.parametrize("seed,n_blocks", [(1, 3), (2, 8), (3, 1), (4, 17)])
+def test_blocked_pairs_equal_bruteforce_random(spark, seed, n_blocks):
+    """Block count must never change the result — including n_blocks=1
+    (single group) and n_blocks > n_vectors (mostly-empty groups)."""
+    from pdfminer_six_spark.ops.ann import embedding_near_duplicates_blocked
+
+    rng = random.Random(seed)
+    rows = _rand_embeddings(rng, 14 if n_blocks == 17 else 40)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_duplicates_blocked(
+            emb, threshold=0.8, n_blocks=n_blocks
+        ).collect()
+    }
+    want = _exact_pairs(rows, 0.8)
+    assert got == want
+    assert want, "fixture should produce at least one pair"
+
+
+def _py_jaccard_pairs(texts, threshold, max_df=None, n=3):
+    def sh(t):
+        toks = [w for w in " ".join(t.lower().split()).split(" ") if w]
+        if len(toks) >= n:
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        joined = " ".join(toks)
+        return {joined} if joined else set()
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    if max_df is not None:
+        from collections import Counter
+
+        df_counts = Counter(s for ss in sets.values() for s in ss)
+        sets = {
+            i: {s for s in ss if df_counts[s] <= max_df}
+            for i, ss in sets.items()
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and round(inter / union, 6) >= threshold:
+                out[(a, b)] = round(inter / union, 6)
+    return out
+
+
+@pytest.mark.parametrize("seed,max_df", [(11, None), (12, 2), (13, 3)])
+def test_jaccard_cut_equals_python_model_random(spark, seed, max_df):
+    """jaccard_pairs (with and without the DF cut) must equal a direct
+    python set model of the same semantics on random near-dup corpora."""
+    from pdfminer_six_spark.ops.dedup import jaccard_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(12)]
+    texts = {}
+    for i in range(18):
+        n_words = rng.randint(3, 10)
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        if rng.random() < 0.4 and texts:
+            # near-dup of an earlier doc: copy + small mutation
+            src = texts[rng.choice(list(texts))].split()
+            if len(src) > 3:
+                src[rng.randrange(len(src))] = rng.choice(vocab)
+            words = src
+        texts[i] = " ".join(words)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.3, max_df=max_df).collect()
+    }
+    want = _py_jaccard_pairs(texts, 0.3, max_df=max_df)
+    assert got == want
