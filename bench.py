@@ -50,8 +50,11 @@ def main() -> None:
     # driver's own jobs and its frequency/steal noise makes any single
     # pass a coin flip (same-code query walls observed to swing 3-8x
     # within minutes); interference only ever slows a query down, so the
-    # min is the faithful engine number
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    # min is the faithful engine number.  3 passes because the generated
+    # join code needs ~2 runs to JIT (measured 17.6 -> 9.8 -> 7.4s on the
+    # shingle join with data caches cleared each run); passes after the
+    # first are cheap
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     staged = os.environ.get("BENCH_STAGED_DIR")
     staging = staged or tempfile.mkdtemp(prefix="bench_transcripts_")
