@@ -143,6 +143,40 @@ def _duration_seconds(s: str) -> int:
     return int(qty) * mult
 
 
+def streaming_dedup(
+    transcripts: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-delivered turns by content
+    fingerprint within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on
+    (fingerprint) and expires entries once the event-time watermark
+    passes — bounded state no matter how long the stream runs, which is
+    the only dedup shape that survives an unbounded 10^12-turn ingest
+    (a global dropDuplicates would grow state forever).  Re-deliveries
+    in real pipelines arrive close to the original (retries, replays),
+    so a watermark-bounded horizon is the standard contract."""
+    from pdfminer_six_spark.ops.dedup import normalized_text
+
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .withColumn(
+            "fp",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("conv_id"),
+                    F.col("turn_idx").cast("string"),
+                    normalized_text(F.col("text")),
+                )
+            ),
+        )
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+
+
 def windowed_turn_metrics(
     transcripts: DataFrame,
     window: str = "1 hour",

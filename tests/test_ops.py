@@ -405,6 +405,59 @@ def test_ivf_topk_recall(spark):
     assert len(exact & ivf) / len(exact) >= 0.6
 
 
+def test_streaming_dedup_drops_redelivered_turns(spark, tmp_path):
+    """Watermark-bounded streaming dedup: a turn re-delivered in a later
+    batch (same conv/turn/normalized text) is dropped; distinct turns and
+    same-position-different-content turns pass through.  State is keyed
+    on the fingerprint and expires with the watermark — bounded no matter
+    how long the stream runs."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import streaming_dedup
+
+    src = tmp_path / "dd_in"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(str(src / name))
+
+    write("f1.parquet", [
+        ("c1", 0, "user", "hello world", "", t0),
+        ("c1", 1, "assistant", "reply", "", t0 + dt.timedelta(minutes=1)),
+    ])
+    # batch 2: a retry re-delivers turn 0 (whitespace-variant text ->
+    # same normalized fingerprint), plus one genuinely new turn and one
+    # same-position turn with different content (must survive)
+    write("f2.parquet", [
+        ("c1", 0, "user", "hello   WORLD", "", t0 + dt.timedelta(minutes=2)),
+        ("c1", 2, "user", "new turn", "", t0 + dt.timedelta(minutes=3)),
+        ("c1", 1, "assistant", "edited reply", "", t0 + dt.timedelta(minutes=4)),
+    ])
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory").queryName("dd_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    out = spark.sql("select conv_id, turn_idx, text from dd_test").collect()
+    texts = sorted(r.text for r in out)
+    assert texts == ["edited reply", "hello world", "new turn", "reply"]
+
+
 def test_windowed_turn_metrics_with_late_data(spark, tmp_path):
     """Watermarked tumbling-window metrics: in-order turns aggregate per
     (window, conv); a turn arriving later but within the watermark still
