@@ -15,8 +15,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _dot(a, b):
+    # cast each operand to double BEFORE multiplying: (float32 * float32)
+    # rounds the product to float32 first, which lands ~0.5% of cosines on
+    # the other side of a 5th-decimal rounding boundary than float64 math
+    # (numpy, DuckDB DOUBLE[]) — observed at sf0.1
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -25,7 +29,7 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

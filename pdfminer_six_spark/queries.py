@@ -718,15 +718,21 @@ def q_ann_topk(spark, sf_dir):
     return ann.brute_force_topk(emb, queries, k=5)
 
 
+# the embedding arrays are CAST to DOUBLE[] BEFORE the similarity fn:
+# list_cosine_similarity on FLOAT[] computes in float32, and rounding a
+# float32-computed value to 5 decimals lands on the other side of a
+# .xxxxx5 boundary than Spark's float64 aggregate for ~0.5% of pairs
+# (observed at sf0.1); with double inputs both engines are bit-identical
 _SQL_ANN_TOPK = """
 SELECT query_id, vec_id, cos, rank FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         ROUND(CAST(list_cosine_similarity(e.embedding, q.embedding)
-                    AS DOUBLE), 5) AS cos,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 5) AS cos,
          ROW_NUMBER() OVER (
            PARTITION BY q.vec_id
-           ORDER BY ROUND(CAST(list_cosine_similarity(e.embedding, q.embedding)
-                               AS DOUBLE), 5)
+           ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])),
+                          5)
              DESC, e.vec_id ASC) AS rank
   FROM embeddings e, embeddings q WHERE q.vec_id < 3)
 WHERE rank <= 5
@@ -764,11 +770,11 @@ def q_embedding_pairs_blocked(spark, sf_dir):
 
 _SQL_EMB_PAIRS = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
-                  AS DOUBLE), 5) AS cos
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding)
-                 AS DOUBLE), 5) >= 0.4
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
 """
 
 
