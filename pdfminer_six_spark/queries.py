@@ -878,6 +878,55 @@ def q_media_pipeline(spark, sf_dir):
     return img_feats.unionByName(frames)
 
 
+def q_training_pipeline(spark, sf_dir):
+    """End-to-end training-data pipeline over transcripts — the engine's
+    stages composed the way a real corpus build chains them:
+
+        extract (PDF/HTML -> text)  ->  keep status=ok
+        -> exact dedup (normalized-content fingerprint, keep first)
+        -> quality score  ->  keep quality >= 0.3
+        -> per-language summary stats
+
+    Everything stays one lazy plan: the extraction mapInPandas feeds the
+    fingerprint window, the quality columns are JVM built-ins, and the
+    only shuffles are the dedup window and the final aggregation.
+    Rows-only for the oracle (no SQL parses PDFs)."""
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.ops.dedup import normalized_text
+    from pdfminer_six_spark.ops.textstats import quality_score
+    from pdfminer_six_spark.spark.pipeline import extract_transcripts
+
+    df = spark.createDataFrame(transcripts_pandas(n_convs=30))
+    extracted = extract_transcripts(df).filter(F.col("status") == "ok")
+    # exact dedup: keep the first (conv_id, turn_idx) per normalized text
+    w = Window.partitionBy(F.md5(normalized_text(F.col("text")))).orderBy(
+        "conv_id", "turn_idx"
+    )
+    unique = (
+        extracted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    doc_like = unique.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+        "n_pages",
+    )
+    scored = quality_score(doc_like).filter(F.col("quality") >= 0.3)
+    lang_col = F.when(F.col("n_pages") > 0, "pdf").otherwise("plain")
+    return (
+        scored.groupBy(lang_col.alias("source_kind"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("source_kind")
+    )
+
+
 QUERIES: Dict[str, QuerySpec] = {
     # relational mirrors
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
@@ -921,4 +970,5 @@ QUERIES: Dict[str, QuerySpec] = {
     "extract_images": (q_extract_images, None),
     "media_features": (q_media_features, None),
     "media_pipeline": (q_media_pipeline, None),
+    "training_pipeline": (q_training_pipeline, None),
 }

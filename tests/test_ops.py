@@ -246,6 +246,27 @@ def test_media_resize_and_frame_sampling(spark):
     assert per.frame.map(lambda f: len(bytes(f)) > 0).all()
 
 
+def test_training_pipeline_composes(spark):
+    """The end-to-end pipeline query (extract -> dedup -> quality filter
+    -> summary) returns one row per source kind, with dedup verifiably
+    dropping the synthetic mix's repeated turns."""
+    import base64
+
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.queries import q_training_pipeline
+
+    out = {r.source_kind: r for r in q_training_pipeline(spark, SF_DIR).collect()}
+    assert set(out) == {"pdf", "plain"}
+    assert all(r.n_docs > 0 and r.total_tokens > 0 for r in out.values())
+    assert all(0.3 <= r.avg_quality <= 1.0 for r in out.values())
+    # dedup must bite: the mix re-embeds payloads across conversations, so
+    # unique extracted PDF texts are far fewer than PDF turns
+    pdf = transcripts_pandas(n_convs=30)
+    n_pdf_turns = int((pdf.tool == "pdf").sum())
+    # 86 unique of 160 pdf turns at n_convs=30: re-embedded payloads gone
+    assert out["pdf"].n_docs < n_pdf_turns * 0.9, (out["pdf"].n_docs, n_pdf_turns)
+
+
 def test_streaming_extract_resume(spark, tmp_path):
     """Streaming variant: incremental batches + checkpoint resume."""
     from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
