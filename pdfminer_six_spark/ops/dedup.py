@@ -15,11 +15,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-from pdfminer_six_spark.ops.textstats import tokens_col
+from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
 
-
-def normalized_text(col):
-    return F.lower(F.regexp_replace(F.trim(col), "\\s+", " "))
+__all__ = [
+    "normalized_text",  # re-export: historical home of the normalizer
+    "exact_duplicates", "shingles", "jaccard_pairs",
+    "minhash_signatures", "minhash_lsh_candidates",
+    "minhash_near_duplicates", "simhash_signatures",
+    "simhash_near_duplicates",
+]
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -27,6 +27,12 @@ def tokens_col(col):
     return F.filter(F.split(col, "\\s+"), lambda x: x != "")
 
 
+def normalized_text(col):
+    """Whitespace-collapsed lowercased text (shared by fingerprints and
+    the dedup family; dedup.py re-exports it)."""
+    return F.lower(F.regexp_replace(F.trim(col), "\\s+", " "))
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_tokens (whitespace), n_bpe_tokens (BPE-ish regex), n_punct,
     avg token length — all JVM-side."""
@@ -123,3 +129,60 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""
     normalized = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
     return df.withColumn("fp", F.md5(normalized))
+
+
+def rolling_fingerprints(
+    df: DataFrame, k: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Rolling-hash document fingerprints (Manber's classic '0 mod p'
+    scheme, the MOSS/winnowing predecessor): hash every k-char gram of
+    the normalized text — the rolling-hash pass — and keep the ~1/16
+    whose hash falls in the selection class.  Two documents sharing any
+    selected k-char substring share a fingerprint, position-independent,
+    unlike the whole-text hash.
+
+    Pure JVM built-ins: substr k-grams via transform(sequence), md5 per
+    gram (md5 so the DuckDB oracle reproduces it bit-for-bit — the
+    selection rule, not the hash polynomial, is what defines the scheme;
+    selection = first hex nibble '0', i.e. hash ≡ 0 mod 16), distinct.
+
+    Returns (doc_id, fps array<string>); docs shorter than k normalized
+    chars produce no row.  Scale: per-doc local work only — no shuffle
+    until a consumer aggregates or joins."""
+    norm = normalized_text(F.col(text_col))
+    n = F.length(norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.md5(norm.substr(i, F.lit(k))),
+    )
+    fps = F.array_distinct(
+        F.filter(grams, lambda h: h.substr(1, 1) == "0")
+    )
+    return df.filter(n >= k).select("doc_id", fps.alias("fps"))
+
+
+def fingerprint_candidates(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by shared rolling fingerprints — the
+    third bucketed similarity family next to MinHash-LSH and SimHash
+    quarters: explode fingerprints, equi-join on fp (the only shuffle),
+    count shared per pair.  A pair sharing s fingerprints shares ~s
+    distinct k-char substrings — strong evidence of textual overlap,
+    robust to reordering unlike the whole-text hash."""
+    fps = rolling_fingerprints(df, k, text_col).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    return (
+        fps.alias("a")
+        .join(fps.alias("b"), on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

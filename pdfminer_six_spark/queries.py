@@ -584,6 +584,59 @@ FROM documents
 """
 
 
+_SQL_ROLLFP_CTE = """
+WITH t AS (
+  SELECT doc_id, LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS s
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           [md5(substr(s, i, 16)) FOR i IN RANGE(1, LENGTH(s) - 16 + 2)],
+           h -> substr(h, 1, 1) = '0')) AS fps
+  FROM t WHERE LENGTH(s) >= 16)
+"""
+
+
+def q_rollfp_digest(spark, sf_dir):
+    """Rolling-hash fingerprint set per doc (Manber 0-mod-p selection),
+    reduced to one md5 digest of the sorted fingerprints — complete set
+    equality per doc without shipping hundreds of rows per doc through
+    the driver's canonicalizer."""
+    fps = textstats.rolling_fingerprints(_t(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.array_sort("fps"))).alias("fp_digest"),
+        F.size("fps").alias("n_fps"),
+    )
+
+
+_SQL_ROLLFP_DIGEST = _SQL_ROLLFP_CTE + """
+SELECT doc_id,
+       -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+       -- concat_ws over an empty array is '' — align on ''
+       md5(COALESCE(array_to_string(list_sort(fps), ','), '')) AS fp_digest,
+       len(fps) AS n_fps
+FROM w
+"""
+
+
+def q_rollfp_candidates(spark, sf_dir):
+    """Near-dup candidates by shared rolling fingerprints — the third
+    bucketed similarity family (after MinHash-LSH banding and SimHash
+    quarters): equi-join on fingerprint, count shared per pair."""
+    return textstats.fingerprint_candidates(
+        _t(spark, sf_dir, "documents"), min_shared=2
+    )
+
+
+_SQL_ROLLFP_CANDIDATES = _SQL_ROLLFP_CTE + """,
+e AS (SELECT doc_id, UNNEST(fps) AS fp FROM w)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM e a JOIN e b USING (fp) WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_language_id(spark, sf_dir):
     return textstats.language_id(_t(spark, sf_dir, "documents")).select(
         "doc_id", "pred_lang"
@@ -955,6 +1008,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_simhash": (q_simhash_near_dups, None),
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
+    "text_rollfp_digest": (q_rollfp_digest, _SQL_ROLLFP_DIGEST),
+    "text_rollfp_candidates": (q_rollfp_candidates, _SQL_ROLLFP_CANDIDATES),
     "text_language_id": (q_language_id, _lang_sql()),
     "text_quality": (q_quality, _sql_quality()),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),

@@ -140,6 +140,41 @@ def test_token_stats_against_python(docs):
         )
 
 
+def test_rolling_fingerprints_detect_shared_substrings(spark):
+    """0-mod-p rolling fingerprints: docs sharing a long substring share
+    fingerprints regardless of its position; disjoint docs share none;
+    short docs produce no row."""
+    from pdfminer_six_spark.ops.textstats import (
+        fingerprint_candidates,
+        rolling_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "PREFIX ONE " + shared + " tail one",
+                    "totally different opening here " + shared,
+                    "no overlap with anything else in this corpus at all",
+                    "tiny",
+                ],
+            }
+        )
+    )
+    fps = {r.doc_id: set(r.fps) for r in rolling_fingerprints(df).collect()}
+    assert 4 not in fps  # shorter than k
+    assert fps[1] & fps[2], "shared substring must share fingerprints"
+    assert not (fps[3] & (fps[1] | fps[2]))
+    cands = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_candidates(df, min_shared=2).collect()
+    }
+    assert set(cands) == {(1, 2)}
+    assert cands[(1, 2)] >= 2
+
+
 def test_language_id_deterministic(spark):
     from pdfminer_six_spark.ops.textstats import language_id
 
