@@ -205,7 +205,9 @@ def embedding_near_duplicates_blocked(
         F.greatest("blk", "other").alias("g2"),
     )
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, pdf):
+        # no type hints: partial annotations make applyInPandas emit a
+        # TYPE_HINT_SHOULD_BE_SPECIFIED warning per invocation
         g1, g2 = int(key[0]), int(key[1])
         empty = pd.DataFrame(
             {
