@@ -246,6 +246,56 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_orders(spark, sf_dir):
+    """CUBE grouping sets — all four aggregation grains in one pass
+    ((), (status), (prio), (status,prio)); complements ROLLUP's
+    hierarchy."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+_SQL_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_pivot_segments(spark, sf_dir):
+    """PIVOT: customer counts per (nation, mktsegment) spread into one
+    column per segment — the wide-table reporting shape.  Explicit value
+    list on both sides (Spark .pivot(values), oracle conditional sums) so
+    the output schema is static."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+        .na.fill(0, segs)
+    )
+
+
+# COUNT(CASE...) not SUM(CASE...): DuckDB's SUM over ints is HUGEINT,
+# which pandas renders float64 and the driver hash-diverges from Spark's
+# long (the sessionize_events lesson)
+_SQL_PIVOT = """
+SELECT n_name,
+       COUNT(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS "AUTOMOBILE",
+       COUNT(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS "BUILDING",
+       COUNT(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS "FURNITURE",
+       COUNT(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS "HOUSEHOLD",
+       COUNT(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS "MACHINERY"
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_topk_orders(spark, sf_dir):
     """ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at scale)."""
     orders = _t(spark, sf_dir, "orders")
@@ -991,6 +1041,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "window_topn_per_customer": (q_window_topn_per_customer, _SQL_WINDOW_TOPN),
     "sessionize_events": (q_sessionize_events, _SQL_SESSIONIZE),
     "rollup_orders": (q_rollup_orders, _SQL_ROLLUP),
+    "cube_orders": (q_cube_orders, _SQL_CUBE),
+    "pivot_segments": (q_pivot_segments, _SQL_PIVOT),
     "topk_orders": (q_topk_orders, _SQL_TOPK),
     "set_ops_brands": (q_set_ops, _SQL_SET_OPS),
     "distinct_by_segment": (q_distinct_by_segment, _SQL_DISTINCT),
