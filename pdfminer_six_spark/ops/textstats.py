@@ -172,16 +172,31 @@ def fingerprint_candidates(
     min_shared: int = 2,
     k: int = 16,
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by shared rolling fingerprints — the
     third bucketed similarity family next to MinHash-LSH and SimHash
     quarters: explode fingerprints, equi-join on fp (the only shuffle),
     count shared per pair.  A pair sharing s fingerprints shares ~s
     distinct k-char substrings — strong evidence of textual overlap,
-    robust to reordering unlike the whole-text hash."""
+    robust to reordering unlike the whole-text hash.
+
+    ``max_df`` is the same document-frequency skew guard as
+    dedup.jaccard_pairs: a boilerplate substring shared by d documents
+    (site templates, licenses) creates ~d²/2 join rows through its
+    fingerprint; dropping fingerprints with DF > max_df before the
+    self-join bounds the fan-out."""
     fps = rolling_fingerprints(df, k, text_col).select(
         "doc_id", F.explode("fps").alias("fp")
     )
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     return (
         fps.alias("a")
         .join(fps.alias("b"), on="fp")

@@ -670,19 +670,27 @@ FROM w
 """
 
 
+_ROLLFP_MAX_DF = 100  # binds at sf0.1 (max fp DF 281 — boilerplate
+# substrings), non-binding at sf0.01 (max 28); mirrored in the oracle
+
+
 def q_rollfp_candidates(spark, sf_dir):
     """Near-dup candidates by shared rolling fingerprints — the third
     bucketed similarity family (after MinHash-LSH banding and SimHash
-    quarters): equi-join on fingerprint, count shared per pair."""
+    quarters): equi-join on fingerprint, count shared per pair, with the
+    document-frequency skew guard (a DF-d fingerprint creates ~d²/2 join
+    rows)."""
     return textstats.fingerprint_candidates(
-        _t(spark, sf_dir, "documents"), min_shared=2
+        _t(spark, sf_dir, "documents"), min_shared=2, max_df=_ROLLFP_MAX_DF
     )
 
 
-_SQL_ROLLFP_CANDIDATES = _SQL_ROLLFP_CTE + """,
-e AS (SELECT doc_id, UNNEST(fps) AS fp FROM w)
+_SQL_ROLLFP_CANDIDATES = _SQL_ROLLFP_CTE + f""",
+e AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+kept AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= {_ROLLFP_MAX_DF}),
+ek AS (SELECT e.doc_id, e.fp FROM e JOIN kept USING (fp))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-FROM e a JOIN e b USING (fp) WHERE a.doc_id < b.doc_id
+FROM ek a JOIN ek b USING (fp) WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
