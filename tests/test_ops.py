@@ -173,6 +173,15 @@ def test_rolling_fingerprints_detect_shared_substrings(spark):
     }
     assert set(cands) == {(1, 2)}
     assert cands[(1, 2)] >= 2
+    # DF guard: with max_df=1 every shared fingerprint is "hot" (DF=2),
+    # so no candidate pair survives — the d² fan-out bound in the limit
+    assert fingerprint_candidates(df, min_shared=1, max_df=1).count() == 0
+    # non-binding guard changes nothing
+    cands_guarded = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in fingerprint_candidates(df, min_shared=2, max_df=50).collect()
+    }
+    assert cands_guarded == cands
 
 
 def test_language_id_deterministic(spark):
