@@ -22,7 +22,7 @@ __all__ = [
     "exact_duplicates", "shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_candidates",
     "minhash_near_duplicates", "simhash_signatures",
-    "simhash_near_duplicates",
+    "simhash_near_duplicates", "duplicate_clusters",
 ]
 
 
@@ -262,6 +262,68 @@ def minhash_near_duplicates(
         .select("doc_a", "doc_b", "jaccard")
     )
     return scored
+
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair list — the step a
+    real corpus dedup ends with: pair evidence (from any of the similarity
+    families above) is transitive-closed into clusters so one canonical
+    doc per cluster survives.
+
+    Iterative hash-min label propagation: every node starts labeled with
+    its own id; each round every node takes the min of its label and its
+    neighbors' labels; converged when no label changes.  Rounds needed =
+    cluster diameter, which for near-dup clusters is small (dup clusters
+    are near-cliques).  Each round is ONE shuffle (join on node id +
+    min-aggregate); `localCheckpoint` after every round cuts the
+    otherwise-exponential lineage and detaches the loop from the
+    (potentially expensive) pair-producing plan.  For adversarial
+    long-chain graphs the same primitives support the large-star/
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which converges in O(log n) rounds; plain
+    hash-min is the right default for dedup-shaped graphs.
+
+    Returns (doc_id, cluster_id, cluster_size) for every doc that appears
+    in at least one pair; cluster_id is the min doc_id of the component.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        merged = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .localCheckpoint()  # materializes: one action per round
+        )
+        changed = merged.filter(F.col("label") != F.col("old_label")).count()
+        labels = merged.select("node", "label")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -124,6 +124,53 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", best["l"]).drop("_toks", *score_cols)
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic corpus-statistics
+    join a training pipeline runs for keyword/quality signals.
+
+    Shape at scale: explode to (doc, term) [no shuffle], term-frequency
+    aggregate [shuffle on (doc, term), map-side partial], document
+    frequency per term [shuffle on term], idf join back [shuffle on term,
+    skew-safe: df per term is one row], corpus size N joined in via a
+    broadcast of a 1-row aggregate (never a driver-side count), then a
+    per-doc top-k window.  idf = ln((1+N)/(1+df)) computed as plain IEEE
+    double math in the same order on Spark and the DuckDB oracle —
+    bit-identical without any rounding.
+
+    Ties (same tfidf within a doc) break lexicographically by term so the
+    output is deterministic.  Returns (doc_id, term, tf, tfidf)."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        "doc_id",
+        F.explode(tokens_col(normalized_text(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.distinct().groupBy("term").agg(
+        F.count("*").alias("term_df")
+    )
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("term_df"))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text
     (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""

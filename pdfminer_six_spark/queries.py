@@ -598,6 +598,37 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: the oracled exact-Jaccard pair relation
+    transitive-closed into connected components by iterative hash-min
+    label propagation (dedup.duplicate_clusters).  The oracle reproduces
+    the closure with a recursive CTE — an iterative Spark algorithm whose
+    fixpoint is still SQL-checkable."""
+    pairs = dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_df=_JACCARD_MAX_DF
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+_SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_sql_jaccard(_JACCARD_MAX_DF)}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+"""
+
+
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return textstats.with_token_stats(docs).select(
@@ -692,6 +723,40 @@ ek AS (SELECT e.doc_id, e.fp FROM e JOIN kept USING (fp))
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
 FROM ek a JOIN ek b USING (fp) WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (ops.textstats.tfidf_top_terms):
+    corpus-wide document-frequency join + per-doc top-k window.  idf is
+    plain IEEE double math (no ROUND) so Spark and DuckDB agree
+    bit-for-bit; ties break lexicographically by term."""
+    from pdfminer_six_spark.ops.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+_SQL_TFIDF = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+terms AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS term_df FROM terms GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         tf * ln((1.0 + n_docs) / (1.0 + term_df)) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
 """
 
 
@@ -1066,11 +1131,13 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": (q_jaccard_pairs, _sql_jaccard(_JACCARD_MAX_DF)),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_jaccard(None)),  # must equal exact
     "dedup_simhash": (q_simhash_near_dups, None),
+    "dedup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
     "text_rollfp_digest": (q_rollfp_digest, _SQL_ROLLFP_DIGEST),
     "text_rollfp_candidates": (q_rollfp_candidates, _SQL_ROLLFP_CANDIDATES),
     "text_language_id": (q_language_id, _lang_sql()),
+    "text_tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
     "text_quality": (q_quality, _sql_quality()),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),

@@ -105,6 +105,78 @@ def test_jaccard_df_cut_nonbinding_is_exact(docs):
     assert exact and with_cut == exact
 
 
+def test_duplicate_clusters_chain_and_islands(spark):
+    """Hash-min label propagation: a 4-node chain (needs >1 round to
+    converge), a disjoint pair, and an isolated pair-free doc (excluded)."""
+    from pdfminer_six_spark.ops.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                # chain 10-11-12-13 (diameter 3) + island {20, 21}
+                "doc_a": [10, 11, 12, 20],
+                "doc_b": [11, 12, 13, 21],
+                "jaccard": [0.9, 0.9, 0.9, 0.9],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in duplicate_clusters(pairs).collect()}
+    assert set(out) == {10, 11, 12, 13, 20, 21}
+    assert all(out[d]["cluster_id"] == 10 for d in (10, 11, 12, 13))
+    assert all(out[d]["cluster_size"] == 4 for d in (10, 11, 12, 13))
+    assert all(out[d]["cluster_id"] == 20 for d in (20, 21))
+    assert all(out[d]["cluster_size"] == 2 for d in (20, 21))
+
+
+def test_duplicate_clusters_matches_bruteforce_on_random_graph(spark):
+    """Propagation fixpoint == union-find ground truth on a random graph."""
+    import random
+
+    from pdfminer_six_spark.ops.dedup import duplicate_clusters
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(60), 2)))
+            for _ in range(45)
+        }
+    )
+    parent = list(range(60))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    truth = {}
+    for a, b in edges:
+        for n in (a, b):
+            truth[n] = find(n)
+    # canonical label = min member of each component
+    roots = {}
+    for n, r in truth.items():
+        roots.setdefault(r, []).append(n)
+    want = {n: min(m) for r, m in roots.items() for n in m}
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_a": [a for a, _ in edges],
+                "doc_b": [b for _, b in edges],
+                "jaccard": [1.0] * len(edges),
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == want
+
+
 def test_simhash_identical_docs(spark):
     from pdfminer_six_spark.ops.dedup import simhash_near_duplicates
 
