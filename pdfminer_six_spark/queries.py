@@ -457,6 +457,113 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates (corr / covar_samp / stddev_samp / var_samp)
+    per return flag — one hash-aggregate with map-side partials; the
+    co-moment merges are the same partial-combine shape Spark uses for
+    every distributed moment sketch.  Coarse grouping (3-4 groups) keeps
+    cross-engine accumulation-order noise far inside the driver's
+    6-decimal float rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+        F.stddev_samp("l_extendedprice").alias("sd_price"),
+        F.var_samp("l_discount").alias("var_disc"),
+    )
+
+
+_SQL_STATS_AGG = """
+SELECT l_returnflag, COUNT(*) AS n,
+       corr(l_quantity, l_extendedprice) AS corr_qty_price,
+       covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+       stddev_samp(l_extendedprice) AS sd_price,
+       var_samp(l_discount) AS var_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-framed window: per-customer trailing-30-day revenue.  The
+    frame is value-based (all orders within 30 day-numbers), not
+    row-based — the other physical window mode, peers included.  The
+    frame SUM accumulates in DECIMAL (exact, associative — immune to
+    cross-engine float summation order) and converts to double once at
+    the end."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.withColumn("day_num", day)
+        .withColumn(
+            "trailing_30d",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "day_num", "trailing_30d")
+    )
+
+
+_SQL_WINDOW_RANGE = """
+SELECT o_custkey, o_orderkey, day_num,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY day_num
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d
+FROM (SELECT *, datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS day_num
+      FROM orders)
+"""
+
+
+def q_exists_subqueries(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS with a scalar subquery threshold —
+    Catalyst rewrites these to semi/anti joins with the scalar aggregate
+    broadcast, so the declarative SQL form carries zero plan penalty."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_sub_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_sub_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM v_sub_customer c
+        WHERE EXISTS (
+            SELECT 1 FROM v_sub_orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND o.o_totalprice >
+                  (SELECT AVG(o_totalprice) FROM v_sub_orders))
+          AND NOT EXISTS (
+            SELECT 1 FROM v_sub_orders o2
+            WHERE o2.o_custkey = c.c_custkey
+              AND o2.o_orderstatus = 'F'
+              AND o2.o_totalprice <
+                  (SELECT 0.5 * AVG(o_totalprice) FROM v_sub_orders))
+        """
+    )
+
+
+_SQL_EXISTS = """
+SELECT c.c_custkey, c.c_mktsegment
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+      AND o.o_totalprice > (SELECT AVG(o_totalprice) FROM orders))
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o2
+    WHERE o2.o_custkey = c.c_custkey
+      AND o2.o_orderstatus = 'F'
+      AND o2.o_totalprice < (SELECT 0.5 * AVG(o_totalprice) FROM orders))
+"""
+
+
 def q_range_join_bands(spark, sf_dir):
     """Non-equi (range) join — the relational mirror of the layout
     neighbor search (L3): value intervals instead of bbox intervals.
@@ -1125,6 +1232,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
+    "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
+    "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
+    "exists_subqueries": (q_exists_subqueries, _SQL_EXISTS),
     "union_parties": (q_union_parties, _SQL_UNION),
     # training-data ops
     "dedup_exact": (q_exact_dups, _SQL_EXACT_DUPS),
