@@ -177,6 +177,40 @@ def streaming_dedup(
     )
 
 
+def join_turn_annotations(
+    turns: DataFrame,
+    annotations: DataFrame,
+    watermark: str = "1 hour",
+    tolerance: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: transcript turns matched with
+    asynchronously-arriving annotations (quality labels, safety flags —
+    the side stream every real training pipeline has).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the annotation's timestamp to [turn ts, turn ts + tolerance] — the
+    combination Spark requires to evict join state: a buffered turn can
+    be dropped once the annotation watermark passes its ts + tolerance,
+    so state stays bounded on an unbounded stream.  An equi-key-only
+    stream-stream join would buffer forever.
+
+    ``annotations`` schema: (conv_id, turn_idx, label, ats timestamp).
+    Returns one row per matched (turn, annotation) pair."""
+    t = turns.withWatermark("ts", watermark).alias("t")
+    a = annotations.withWatermark("ats", watermark).alias("a")
+    return t.join(
+        a,
+        F.expr(
+            f"""t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx
+                AND a.ats >= t.ts
+                AND a.ats <= t.ts + interval {tolerance}"""
+        ),
+    ).select(
+        "t.conv_id", "t.turn_idx", "t.role", "t.text", "t.ts",
+        "a.label", "a.ats",
+    )
+
+
 def windowed_turn_metrics(
     transcripts: DataFrame,
     window: str = "1 hour",

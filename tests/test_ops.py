@@ -595,6 +595,72 @@ def test_streaming_dedup_drops_redelivered_turns(spark, tmp_path):
     assert texts == ["edited reply", "hello world", "new turn", "reply"]
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream join with an event-time interval bound: annotations
+    within [turn ts, ts + 30 min] match; an annotation outside the
+    tolerance (too late relative to its turn) never joins."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import join_turn_annotations
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    turns_dir = tmp_path / "ssj_turns"
+    ann_dir = tmp_path / "ssj_ann"
+    turns_dir.mkdir()
+    ann_dir.mkdir()
+
+    tdf = pd.DataFrame(
+        [
+            ("c1", 0, "user", "q one", "", t0),
+            ("c1", 1, "assistant", "a one", "", t0 + dt.timedelta(minutes=1)),
+            ("c2", 0, "user", "q two", "", t0 + dt.timedelta(minutes=2)),
+        ],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    tdf["turn_idx"] = tdf["turn_idx"].astype("int32")
+    tdf["ts"] = tdf["ts"].astype("datetime64[us]")
+    tdf.to_parquet(str(turns_dir / "t.parquet"))
+
+    adf = pd.DataFrame(
+        [
+            # in-tolerance annotations for c1/0 and c2/0
+            ("c1", 0, "good", t0 + dt.timedelta(minutes=5)),
+            ("c2", 0, "flagged", t0 + dt.timedelta(minutes=10)),
+            # out-of-tolerance: 2 hours after its turn -> must not join
+            ("c1", 1, "too_late", t0 + dt.timedelta(hours=2)),
+        ],
+        columns=["conv_id", "turn_idx", "label", "ats"],
+    )
+    adf["turn_idx"] = adf["turn_idx"].astype("int32")
+    adf["ats"] = adf["ats"].astype("datetime64[us]")
+    adf.to_parquet(str(ann_dir / "a.parquet"))
+
+    turns = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(str(turns_dir))
+    )
+    ann = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, label string, ats timestamp"
+        )
+        .parquet(str(ann_dir))
+    )
+    q = (
+        join_turn_annotations(turns, ann, tolerance="30 minutes")
+        .writeStream.format("memory").queryName("ssj_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select conv_id, turn_idx, label from ssj_test"
+    ).collect()
+    got = sorted((r.conv_id, r.turn_idx, r.label) for r in rows)
+    assert got == [("c1", 0, "good"), ("c2", 0, "flagged")]
+
+
 def test_windowed_turn_metrics_with_late_data(spark, tmp_path):
     """Watermarked tumbling-window metrics: in-order turns aggregate per
     (window, conv); a turn arriving later but within the watermark still
