@@ -124,6 +124,64 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("pred_lang", best["l"]).drop("_toks", *score_cols)
 
 
+def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style document filter rules — the heuristic battery a
+    corpus build applies before training: token-count bounds, duplicate
+    2-gram ratio (intra-document repetition), mean word length band, and
+    symbol-to-character ratio, combined into one ``keep`` verdict.
+
+    Every signal is integer counting plus a single double division in a
+    fixed order, so the thresholds compare bit-identical values on Spark
+    and the DuckDB oracle — the keep flag is exactly reproducible.  Pure
+    JVM built-ins, per-row local (no shuffle): at 100 TB this runs at
+    scan speed and the filter predicate pushes into the next stage."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_ratio = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    mean_wlen = F.when(
+        n > 0,
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        * 1.0
+        / n,
+    ).otherwise(F.lit(0.0))
+    n_chars = F.length(F.col(text_col))
+    n_symbols = F.length(
+        F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", "")
+    )
+    symbol_ratio = F.when(n_chars > 0, n_symbols * 1.0 / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    out = (
+        df.withColumn("n_tokens", n)
+        .withColumn("dup_2gram_ratio", dup_ratio)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("symbol_ratio", symbol_ratio)
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("dup_2gram_ratio") < 0.4)
+        & (F.col("mean_word_len") >= 2.0)
+        & (F.col("mean_word_len") <= 12.0)
+        & (F.col("symbol_ratio") < 0.1),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -867,6 +867,52 @@ WHERE rn <= 3
 """
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher/C4-style heuristic document filter
+    (ops.textstats.gopher_quality_rules): repetition / word-length /
+    symbol-ratio signals and the combined keep verdict, all bit-exactly
+    reproducible in SQL."""
+    from pdfminer_six_spark.ops.textstats import gopher_quality_rules
+
+    return gopher_quality_rules(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "dup_2gram_ratio", "mean_word_len",
+        "symbol_ratio", "keep",
+    )
+
+
+_SQL_GOPHER = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2 THEN
+           1.0 - len(list_distinct([array_to_string(t[i+1:i+2], ' ')
+                                    FOR i IN RANGE(0, len(t) - 1)]))
+                 * 1.0 / (len(t) - 1)
+         ELSE 0.0 END AS dup_2gram_ratio,
+         CASE WHEN len(t) > 0 THEN
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+             * 1.0 / len(t)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0 THEN
+           length(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g'))
+             * 1.0 / length(text)
+         ELSE 0.0 END AS symbol_ratio
+  FROM toks)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, dup_2gram_ratio,
+       mean_word_len, symbol_ratio,
+       (n_tokens >= 5 AND n_tokens <= 1000 AND dup_2gram_ratio < 0.4
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND symbol_ratio < 0.1) AS keep
+FROM feats
+"""
+
+
 def q_language_id(spark, sf_dir):
     return textstats.language_id(_t(spark, sf_dir, "documents")).select(
         "doc_id", "pred_lang"
@@ -1249,6 +1295,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "text_language_id": (q_language_id, _lang_sql()),
     "text_tfidf_top_terms": (q_tfidf_top_terms, _SQL_TFIDF),
     "text_quality": (q_quality, _sql_quality()),
+    "text_gopher_rules": (q_gopher_rules, _SQL_GOPHER),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_topk_cosine": (q_ann_topk, _SQL_ANN_TOPK),

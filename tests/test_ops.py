@@ -256,6 +256,36 @@ def test_rolling_fingerprints_detect_shared_substrings(spark):
     assert cands_guarded == cands
 
 
+def test_gopher_rules_verdicts(spark):
+    """Repetitive, symbol-heavy, and too-short docs rejected; plain prose
+    kept; signal values match hand computation."""
+    from pdfminer_six_spark.ops.textstats import gopher_quality_rules
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "spam spam spam spam spam spam spam spam spam spam",
+                    "a $$ b %% c @@ d !! e ## f ^^ g && h ** i (( j ))",
+                    "too short",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_rules(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_tokens"] == 10
+    # "spam spam" repeated: 9 bigrams, 1 distinct -> dup ratio 8/9
+    assert out[2]["keep"] is False
+    assert abs(out[2]["dup_2gram_ratio"] - 8.0 / 9.0) < 1e-12
+    assert out[3]["keep"] is False  # symbol_ratio 20/49 > 0.1
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[4]["keep"] is False  # 2 tokens < 5
+    assert out[4]["n_tokens"] == 2
+
+
 def test_language_id_deterministic(spark):
     from pdfminer_six_spark.ops.textstats import language_id
 
