@@ -457,6 +457,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: every event enriched with the user's most recent order
+    at-or-before the event time (ops.joins.asof_join — the union +
+    last-non-null window formulation, one shuffle, no join explosion).
+    Oracle: DuckDB's native ASOF JOIN.  The right side is pre-aggregated
+    to one row per (key, ts) so tie semantics are fully specified on
+    both engines."""
+    from pdfminer_six_spark.ops.joins import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey_asof").alias("last_orderkey"),
+        F.round(F.col("o_totalprice_asof"), 2).alias("last_price"),
+    )
+
+
+_SQL_ASOF = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         MAX_BY(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, r.o_orderkey AS last_orderkey,
+       ROUND(r.o_totalprice, 2) AS last_price
+FROM events e ASOF JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
 def q_stats_agg(spark, sf_dir):
     """Statistical aggregates (corr / covar_samp / stddev_samp / var_samp)
     per return flag — one hash-aggregate with map-side partials; the
@@ -1278,6 +1326,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
+    "asof_join_last_order": (q_asof_join, _SQL_ASOF),
     "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     "exists_subqueries": (q_exists_subqueries, _SQL_EXISTS),

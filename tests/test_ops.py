@@ -256,6 +256,40 @@ def test_rolling_fingerprints_detect_shared_substrings(spark):
     assert cands_guarded == cands
 
 
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row at-or-before each left ts wins;
+    exact-timestamp right rows match; keys with no prior right row drop."""
+    from pdfminer_six_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 3],
+                "lt": [5, 10, 20, 7, 4],
+                "lid": ["a", "b", "c", "d", "e"],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 3],
+                "rt": [3, 10, 15, 8, 9],
+                "val": [30.0, 100.0, 150.0, 80.0, 90.0],
+            }
+        )
+    )
+    out = {
+        r["lid"]: r["val_asof"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt"
+        ).collect()
+    }
+    # a: rt=3 <= 5; b: rt=10 == 10 (exact ts matches); c: rt=15 latest;
+    # d (lt=7 < first rt=8) and e (lt=4 < rt=9) have no match -> dropped
+    assert out == {"a": 30.0, "b": 100.0, "c": 150.0}
+
+
 def test_gopher_rules_verdicts(spark):
     """Repetitive, symbol-heavy, and too-short docs rejected; plain prose
     kept; signal values match hand computation."""
