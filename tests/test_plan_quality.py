@@ -149,3 +149,47 @@ def test_layout_tables_single_kernel_pass(spark):
             assert plan.count("MapInPandas") <= 1, rel
     finally:
         t["_union"].unpersist()
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join compiles to ONE exchange on the key (the union +
+    window plan) — never a sort-merge/nested-loop join pair."""
+    from pdfminer_six_spark.ops.joins import asof_join
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        pyspark.sql.functions.col("o_custkey").alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    plan = _plan(
+        asof_join(events, orders, on=["user_id"], left_ts="ts",
+                  right_ts="o_orderdate")
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gopher_rules_scan_local(spark):
+    """The quality-rule battery is per-row built-ins: zero exchanges,
+    whole plan inside the scan stage."""
+    from pdfminer_six_spark.ops.textstats import gopher_quality_rules
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(gopher_quality_rules(docs))
+    assert "Exchange" not in plan
+    assert "BatchScan" in plan or "FileScan" in plan or "Scan parquet" in plan
+
+
+def test_tfidf_partial_aggregation(spark):
+    """TF and DF aggregates both partial-combine map-side; corpus size
+    joins in as a broadcast (1-row aggregate), never a shuffle."""
+    from pdfminer_six_spark.ops.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, k=3))
+    assert "partial_count" in plan
+    assert "BroadcastExchange" in plan  # the 1-row corpus-size join
