@@ -68,3 +68,41 @@ def test_job_reads_and_writes_catalog_tables(spark):
     job.run(spark, _args(input="transcripts_in", output="extracted_fresh",
                          resume=True))
     assert spark.read.table("extracted_fresh").count() == len(pdf)
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Bucketing — the co-located-join strategy for repeated big joins at
+    100 TB: both sides written bucketed on the join key land their
+    matching buckets in the same task, so the join plans with ZERO
+    exchanges (only per-bucket sorts).  The same declaration shape is
+    what Iceberg bucket-partitioning provides on a real cluster."""
+    sf = "/root/testdata/sf0.01"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    customer = spark.read.parquet(f"{sf}/customer.parquet")
+    (orders.write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable("orders_b"))
+    (customer.write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable("customer_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_b")
+            .join(
+                spark.table("customer_b"),
+                spark.table("orders_b").o_custkey
+                == spark.table("customer_b").c_custkey,
+            )
+            .groupBy("c_mktsegment")
+            .count()
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin")[-1]
+        # no shuffle feeds the join: the only Exchange allowed is the
+        # one ABOVE it for the final segment aggregation
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part
+        rows = {r["c_mktsegment"]: r["count"] for r in joined.collect()}
+        assert sum(rows.values()) == orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
