@@ -88,6 +88,12 @@ def main() -> None:
         "range_join_bands",
         "dedup_jaccard_pairs",
         "dedup_minhash_lsh",
+        # round-2 additions (per-query values stay comparable across
+        # rounds; the suite TOTAL is not comparable to pre-addition runs)
+        "dedup_clusters",
+        "dedup_decontaminate",
+        "text_tfidf_top_terms",
+        "asof_join_last_order",
         "text_token_stats",
         "ann_topk_cosine",
         "embedding_near_dups_blocked",

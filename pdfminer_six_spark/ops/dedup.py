@@ -264,6 +264,39 @@ def minhash_near_duplicates(
     return scored
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination scan — the decontamination step every
+    pretraining corpus runs: find training documents sharing word
+    n-grams with an evaluation set (the n-gram-collision test, usually
+    with n in the 8-13 range; n is a dial here because the synthetic
+    docs are short).
+
+    Shape at scale: both sides shingle locally (no shuffle), the eval
+    side is tiny relative to train — Spark broadcasts it, so the train
+    corpus is never shuffled at all: scan -> explode -> broadcast-join
+    -> partial-agg.  Returns (train_doc, eval_doc, n_shared)."""
+    tr = shingles(train, text_col, n).select(
+        F.col("doc_id").alias("train_doc"),
+        F.xxhash64("shingle").alias("shingle"),
+    )
+    ev = shingles(eval_df, text_col, n).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.xxhash64("shingle").alias("shingle"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     """Connected components over a near-duplicate pair list — the step a
     real corpus dedup ends with: pair evidence (from any of the similarity

@@ -612,6 +612,34 @@ WHERE EXISTS (
 """
 
 
+def q_map_funcs(spark, sf_dir):
+    """Map-typed column functions: JSON props parsed to map<string,int>,
+    exploded to (key, value) rows, aggregated per key.  Map explode is
+    row-local; the per-key agg partial-combines map-side."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias(
+            "key", "value"
+        )
+    )
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+_SQL_MAP_FUNCS = """
+WITH kv AS (
+  SELECT key, CAST(json_extract(props, '$.' || key) AS INTEGER) AS value
+  FROM (SELECT props, UNNEST(json_keys(props)) AS key FROM events))
+SELECT key, COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS total,
+       MIN(value) AS vmin, MAX(value) AS vmax
+FROM kv GROUP BY key
+"""
+
+
 def q_range_join_bands(spark, sf_dir):
     """Non-equi (range) join — the relational mirror of the layout
     neighbor search (L3): value intervals instead of bbox intervals.
@@ -751,6 +779,40 @@ def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_duplicates(
         _t(spark, sf_dir, "documents"), max_hamming=3
     )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Train/eval n-gram contamination scan (ops.dedup.contamination_pairs):
+    every 25th document plays the held-out eval set; training docs sharing
+    any 5-gram with it are flagged with the collision count.  The eval
+    side broadcasts, so the training corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return dedup.contamination_pairs(train, evals, n=5, min_shared=1)
+
+
+_SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(CASE WHEN len(t) >= 5
+                  THEN [array_to_string(t[i+1:i+5], ' ')
+                        FOR i IN RANGE(0, len(t) - 4)]
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks) WHERE shingle <> '')
+SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+       COUNT(*) AS n_shared
+FROM (SELECT * FROM sh WHERE doc_id % 25 <> 0) tr
+JOIN (SELECT * FROM sh WHERE doc_id % 25 = 0) ev USING (shingle)
+GROUP BY 1, 2
+"""
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -1325,6 +1387,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "math_case": (q_math_case, _SQL_MATH),
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
+    "map_funcs": (q_map_funcs, _SQL_MAP_FUNCS),
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
     "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
@@ -1337,6 +1400,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_jaccard(None)),  # must equal exact
     "dedup_simhash": (q_simhash_near_dups, None),
     "dedup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
+    "dedup_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
     "text_rollfp_digest": (q_rollfp_digest, _SQL_ROLLFP_DIGEST),

@@ -105,6 +105,43 @@ def test_jaccard_df_cut_nonbinding_is_exact(docs):
     assert exact and with_cut == exact
 
 
+def test_contamination_pairs_counts(spark):
+    """n-gram collisions between train and eval: shared 3-grams counted
+    per (train, eval) pair; disjoint docs produce no row; the join plan
+    broadcasts the eval side."""
+    from pdfminer_six_spark.ops.dedup import contamination_pairs
+
+    train = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon",  # shares 3-grams w/ eval
+                    "one two three four five",          # disjoint
+                    "alpha beta gamma nothing else",    # shares 1 3-gram
+                ],
+            }
+        )
+    )
+    evals = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [100], "text": ["alpha beta gamma delta epsilon zeta"]}
+        )
+    )
+    out = {
+        (r["train_doc"], r["eval_doc"]): r["n_shared"]
+        for r in contamination_pairs(train, evals, n=3).collect()
+    }
+    # doc 1: 3-grams {abg, bgd, gde} all in eval -> 3; doc 3: {abg} -> 1
+    assert out == {(1, 100): 3, (3, 100): 1}
+
+    plan = (
+        contamination_pairs(train, evals, n=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
 def test_duplicate_clusters_chain_and_islands(spark):
     """Hash-min label propagation: a 4-node chain (needs >1 round to
     converge), a disjoint pair, and an isolated pair-free doc (excluded)."""
