@@ -505,6 +505,24 @@ FROM events e ASOF JOIN r
 """
 
 
+def q_stable_row_ids(spark, sf_dir):
+    """Global consecutive row numbering in key order WITHOUT the
+    single-partition window cliff (ops.ids.stable_row_ids: range
+    partition -> local row_number -> per-partition offset join).  Oracle:
+    the plain global ROW_NUMBER, which DuckDB can afford at this scale."""
+    from pdfminer_six_spark.ops.ids import stable_row_ids
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return stable_row_ids(orders, ["o_orderkey"], num_partitions=16)
+
+
+_SQL_STABLE_IDS = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS row_id
+FROM orders
+"""
+
+
 def q_stats_agg(spark, sf_dir):
     """Statistical aggregates (corr / covar_samp / stddev_samp / var_samp)
     per return flag — one hash-aggregate with map-side partials; the
@@ -1390,6 +1408,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "map_funcs": (q_map_funcs, _SQL_MAP_FUNCS),
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
+    "stable_row_ids": (q_stable_row_ids, _SQL_STABLE_IDS),
     "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     "exists_subqueries": (q_exists_subqueries, _SQL_EXISTS),

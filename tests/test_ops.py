@@ -293,6 +293,27 @@ def test_rolling_fingerprints_detect_shared_substrings(spark):
     assert cands_guarded == cands
 
 
+def test_stable_row_ids_consecutive_in_key_order(spark):
+    """Two-phase global numbering == the single-window ground truth:
+    consecutive 0-based ids following the sort key, no dups, no gaps."""
+    import random
+
+    from pdfminer_six_spark.ops.ids import stable_row_ids
+
+    keys = list(range(0, 4000, 3))  # gapped keys, unsorted arrival
+    random.Random(3).shuffle(keys)
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "payload": [k % 7 for k in keys]})
+    ).repartition(8)
+    out = (
+        stable_row_ids(df, ["k"], num_partitions=6)
+        .orderBy("k")
+        .collect()
+    )
+    assert [r["row_id"] for r in out] == list(range(len(keys)))
+    assert [r["k"] for r in out] == sorted(keys)
+
+
 def test_asof_join_semantics(spark):
     """Backward as-of: latest right row at-or-before each left ts wins;
     exact-timestamp right rows match; keys with no prior right row drop."""
