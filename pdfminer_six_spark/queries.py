@@ -799,6 +799,35 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+def q_deterministic_split(spark, sf_dir):
+    """Reproducible corpus split — the sampling shape a training pipeline
+    actually needs: membership is a pure function of the doc id (md5
+    prefix banded ~80/10/10), so any machine, any partitioning, any
+    engine assigns identical splits.  No RNG, no sampling operator, no
+    state: a scan-local projection that survives any re-run.  Never use
+    rand()-based sampling for split assignment at 100 TB — retries and
+    speculative tasks would re-draw it."""
+    docs = _t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train")  # 0x00-0xcc: 205/256 ~ 80%
+        .when(h2 < "e6", "val")     # 0xcd-0xe5:  25/256 ~ 10%
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
+_SQL_DETERMINISTIC_SPLIT = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+              THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/eval n-gram contamination scan (ops.dedup.contamination_pairs):
     every 25th document plays the held-out eval set; training docs sharing
@@ -1420,6 +1449,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_simhash": (q_simhash_near_dups, None),
     "dedup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
     "dedup_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
+    "deterministic_split": (q_deterministic_split, _SQL_DETERMINISTIC_SPLIT),
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
     "text_rollfp_digest": (q_rollfp_digest, _SQL_ROLLFP_DIGEST),
