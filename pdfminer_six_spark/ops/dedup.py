@@ -359,6 +359,92 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
+def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round alternative to ``duplicate_clusters`` for
+    adversarial graphs (long chains), where plain hash-min needs
+    diameter-many rounds.
+
+    Each half-round is pure relational algebra — a per-node min
+    aggregate joined back to the edge list (NO per-node neighbor-list
+    collection, so a high-degree node never materializes its
+    neighborhood in one task):
+
+        large-star: for every node u with m = min(N(u) ∪ {u}),
+                    rewire each neighbor v > u to m
+        small-star: rewire each neighbor v <= u (and u itself) to m
+
+    Terminates when the edge multiset stops changing (checksum action,
+    one job per round); at fixpoint every edge is (node, root).  Output
+    matches duplicate_clusters exactly: (doc_id, cluster_id,
+    cluster_size) with cluster_id = min member."""
+    # undirected edge list, deduped; u is the "center" endpoint
+    base = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = base.select(F.col("u").alias("node")).distinct().localCheckpoint()
+
+    def _min_map(edges: DataFrame) -> DataFrame:
+        # m(u) = min over N(u) ∪ {u}
+        return edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _star(edges: DataFrame, large: bool) -> DataFrame:
+        m = _min_map(edges)
+        joined = edges.join(m, "u")
+        if large:
+            rewired = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            rewired = (
+                joined.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            )
+        # back to symmetric undirected form, self-loops dropped
+        sym = rewired.filter(F.col("a") != F.col("b"))
+        return (
+            sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(sym.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
+        )
+
+    edges = base
+    prev_sum = None
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        chk = edges.agg(
+            F.count("*").alias("n"),
+            # XOR, not SUM: order-independent and overflow-free under
+            # ANSI mode (a 64-bit hash SUM overflows LongType)
+            F.bit_xor(F.xxhash64("u", "v")).alias("s"),
+        ).collect()[0]
+        cur = (chk["n"], chk["s"])
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    # at fixpoint each non-root points at its root; roots have no
+    # outgoing u>v edge — label = min neighbor (or self for roots)
+    labels = (
+        nodes.join(edges, nodes["node"] == edges["u"], "left")
+        .groupBy("node")
+        .agg(F.least(F.min("v"), F.first("node")).alias("label"))
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens: per-bit majority vote of token hashes,
     expressed with explode + bitwise built-ins (no Python in the loop)."""

@@ -214,6 +214,45 @@ def test_duplicate_clusters_matches_bruteforce_on_random_graph(spark):
     assert got == want
 
 
+def test_duplicate_clusters_star_matches_hashmin(spark):
+    """Large-star/small-star fixpoint == hash-min propagation == union-find
+    on a random graph AND on a long path (the adversarial diameter case
+    the star alternation exists for)."""
+    import random
+
+    from pdfminer_six_spark.ops.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    rng = random.Random(11)
+    random_edges = sorted(
+        {tuple(sorted(rng.sample(range(40), 2))) for _ in range(30)}
+    )
+    path_edges = [(100 + i, 101 + i) for i in range(25)]  # one long chain
+    edges = random_edges + path_edges
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_a": [a for a, _ in edges],
+                "doc_b": [b for _, b in edges],
+                "jaccard": [1.0] * len(edges),
+            }
+        )
+    )
+    hashmin = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters_star(pairs).collect()
+    }
+    assert star == hashmin
+    # the chain collapses to one cluster rooted at its min node
+    assert (125, 100, 26) in star
+
+
 def test_simhash_identical_docs(spark):
     from pdfminer_six_spark.ops.dedup import simhash_near_duplicates
 
