@@ -863,13 +863,16 @@ GROUP BY 1, 2
 
 
 def q_dup_clusters(spark, sf_dir):
-    """Near-duplicate CLUSTERS: the oracled exact-Jaccard pair relation
-    transitive-closed into connected components by iterative hash-min
-    label propagation (dedup.duplicate_clusters).  The oracle reproduces
-    the closure with a recursive CTE — an iterative Spark algorithm whose
-    fixpoint is still SQL-checkable."""
-    pairs = dedup.jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.6, max_df=_JACCARD_MAX_DF
+    """Near-duplicate CLUSTERS: the full scale-path chain — LSH banding
+    candidates, exact-Jaccard verification of candidates only, then
+    connected components by iterative hash-min label propagation
+    (dedup.duplicate_clusters).  The oracle reproduces the closure of the
+    EXACT pair relation with a recursive CTE: it stays green because LSH
+    recall is 1 at this banding (itself oracle-verified by
+    dedup_minhash_lsh) — an iterative Spark algorithm whose fixpoint is
+    still SQL-checkable."""
+    pairs = dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.6
     )
     return dedup.duplicate_clusters(pairs)
 
