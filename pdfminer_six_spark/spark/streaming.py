@@ -177,6 +177,36 @@ def streaming_dedup(
     )
 
 
+def streaming_idempotent_sink(
+    extracted: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+):
+    """Exactly-once sink via ``foreachBatch`` with batch-id-keyed
+    idempotent writes — the pattern for sinks without transactional
+    streaming support (and the shape an Iceberg MERGE INTO takes in a
+    real deployment).
+
+    Structured Streaming's contract: after a crash the LAST batch may be
+    REPLAYED with the same batch_id.  Writing each batch to a
+    `batch_id=N` partition with mode("overwrite") makes the replay a
+    no-op-equivalent (it overwrites its own partial output, never
+    appends a duplicate), so sink contents equal exactly-once delivery
+    even though the execution is at-least-once."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{output_dir}/batch_id={batch_id}"
+        )
+
+    return (
+        extracted.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def join_turn_annotations(
     turns: DataFrame,
     annotations: DataFrame,

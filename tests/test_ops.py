@@ -756,6 +756,71 @@ def test_streaming_dedup_drops_redelivered_turns(spark, tmp_path):
     assert texts == ["edited reply", "hello world", "new turn", "reply"]
 
 
+def test_streaming_idempotent_sink_replay_safe(spark, tmp_path):
+    """foreachBatch batch-id-keyed sink: incremental batches land once;
+    a simulated crash-replay of the last batch (same batch_id re-written)
+    leaves the sink unchanged — at-least-once execution, exactly-once
+    contents."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import streaming_idempotent_sink
+
+    src = tmp_path / "ib_in"
+    out = tmp_path / "ib_out"
+    ckpt = tmp_path / "ib_ckpt"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(str(src / name))
+
+    write("f1.parquet", [("c1", 0, "user", "hello", "", t0)])
+
+    def run():
+        stream = (
+            spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = streaming_idempotent_sink(stream, str(out), str(ckpt))
+        q.awaitTermination(180)
+
+    run()
+    assert spark.read.parquet(str(out)).count() == 1
+    # second batch arrives; restart picks up only the new file
+    write("f2.parquet", [
+        ("c1", 1, "assistant", "reply", "", t0 + dt.timedelta(minutes=1)),
+        ("c2", 0, "user", "other", "", t0 + dt.timedelta(minutes=2)),
+    ])
+    run()
+    sink = spark.read.parquet(str(out))
+    assert sink.count() == 3
+    # simulate the crash-replay: re-execute the LAST batch's write with
+    # the same batch_id (what Structured Streaming does after a failure
+    # between sink write and checkpoint commit)
+    replay = spark.createDataFrame(
+        [("c1", 1, "assistant", "reply", "",
+          t0 + dt.timedelta(minutes=1)),
+         ("c2", 0, "user", "other", "",
+          t0 + dt.timedelta(minutes=2))],
+        schema=TRANSCRIPTS_SCHEMA,
+    )
+    replay.write.mode("overwrite").parquet(str(out / "batch_id=1"))
+    sink2 = spark.read.parquet(str(out))
+    assert sink2.count() == 3  # no duplicates from the replay
+    assert {r["conv_id"] + str(r["turn_idx"]) for r in sink2.collect()} == {
+        "c10", "c11", "c20"
+    }
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Stream-stream join with an event-time interval bound: annotations
     within [turn ts, ts + 30 min] match; an annotation outside the
