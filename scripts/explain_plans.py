@@ -28,6 +28,12 @@ def main() -> None:
         "sessionize_events",
         "range_join_bands",
         "dedup_minhash_lsh",
+        "dedup_decontaminate",
+        "text_tfidf_top_terms",
+        "asof_join_last_order",
+        "stable_row_ids",
+        "window_range_frame",
+        "exists_subqueries",
         "ann_topk_cosine",
     ]
     for name in names:
