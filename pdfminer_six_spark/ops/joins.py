@@ -55,39 +55,48 @@ def asof_join(
     out_vals = [f"{v}{suffix}" for v in value_cols]
     left_keep = [c for c in left.columns]
 
+    # the right row travels as ONE struct (non-null whenever a right row
+    # exists, even if every value inside it is NULL): last-ignorenulls
+    # over the struct picks whole rows, so (a) a matched row whose value
+    # happens to be NULL is not mistaken for "no match", and (b) values
+    # from different right rows can never interleave
+    r_struct = F.struct(
+        *[F.col(v).alias(v) for v in value_cols]
+    )
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(
+            f"{v}:{right.schema[v].dataType.simpleString()}"
+            for v in value_cols
+        ) + ">"
+    )
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
+        null_struct.alias("_r"),
         *[F.col(c).alias(f"_l_{c}") for c in left_keep],
-        *[F.lit(None).cast(right.schema[v].dataType).alias(o)
-          for v, o in zip(value_cols, out_vals)],
     )
     r_tagged = right.select(
         *on,
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
+        r_struct.alias("_r"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in left_keep],
-        *[F.col(v).alias(o) for v, o in zip(value_cols, out_vals)],
     )
     w = (
         Window.partitionBy(*on)
         .orderBy("_t", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = l_tagged.unionByName(r_tagged).select(
-        "*",
-        *[
-            F.last(o, ignorenulls=True).over(w).alias(f"_f_{o}")
-            for o in out_vals
-        ],
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "_f", F.last("_r", ignorenulls=True).over(w)
     )
     return (
         filled.filter(F.col("_side") == 1)
-        .filter(F.col(f"_f_{out_vals[0]}").isNotNull())
+        .filter(F.col("_f").isNotNull())
         .select(
             *[F.col(f"_l_{c}").alias(c) for c in left_keep],
-            *[F.col(f"_f_{o}").alias(o) for o in out_vals],
+            *[F.col("_f")[v].alias(o) for v, o in zip(value_cols, out_vals)],
         )
     )

@@ -387,6 +387,24 @@ def test_asof_join_semantics(spark):
     assert out == {"a": 30.0, "b": 100.0, "c": 150.0}
 
 
+def test_asof_join_null_value_in_latest_right_row(spark):
+    """A matched right row whose value is NULL must yield NULL (not fall
+    back to an older row's value, not be dropped as unmatched)."""
+    from pdfminer_six_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "lt": [20], "lid": ["a"]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "rt": [5, 10], "val": [50.0, None]})
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_ts="lt", right_ts="rt"
+    ).collect()
+    assert len(rows) == 1  # matched (rt=10 <= 20), not dropped
+    assert rows[0]["val_asof"] is None  # latest row's NULL, not 50.0
+
+
 def test_gopher_rules_verdicts(spark):
     """Repetitive, symbol-heavy, and too-short docs rejected; plain prose
     kept; signal values match hand computation."""
