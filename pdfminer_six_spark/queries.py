@@ -630,6 +630,99 @@ WHERE EXISTS (
 """
 
 
+def q_recursive_date_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE) generating a dense month
+    spine over the order-date span, left-joined to monthly order counts —
+    the zero-fill calendar every reporting pipeline needs (a plain
+    GROUP BY silently drops empty periods).  Spark's recursive CTEs
+    support UNION ALL (generation/hierarchies) with an explicit MAX
+    RECURSION LEVEL; cyclic closure stays in the DataFrame loop
+    (dedup.duplicate_clusters) since UNION-dedup recursion is not yet
+    supported."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_spine_orders")
+    return spark.sql(
+        """
+WITH RECURSIVE bounds AS (
+  SELECT trunc(MIN(CAST(o_orderdate AS DATE)), 'MONTH') AS d0,
+         trunc(MAX(CAST(o_orderdate AS DATE)), 'MONTH') AS d1
+  FROM v_spine_orders),
+spine(month) MAX RECURSION LEVEL 1000 AS (
+  SELECT d0 FROM bounds
+  UNION ALL
+  SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE month < (SELECT d1 FROM bounds)),
+monthly AS (
+  SELECT trunc(CAST(o_orderdate AS DATE), 'MONTH') AS month, COUNT(*) AS n
+  FROM v_spine_orders GROUP BY 1)
+SELECT CAST(s.month AS STRING) AS month,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.month = m.month
+"""
+    )
+
+
+_SQL_RECURSIVE_SPINE = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS d0,
+         date_trunc('month', MAX(CAST(o_orderdate AS DATE))) AS d1
+  FROM orders),
+spine(month) AS (
+  SELECT d0 FROM bounds
+  UNION ALL
+  SELECT CAST(month + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE month < (SELECT d1 FROM bounds)),
+monthly AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1)
+SELECT CAST(s.month AS STRING) AS month,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.month = m.month
+"""
+
+
+def q_session_window_agg(spark, sf_dir):
+    """Built-in session windows (F.session_window): per-user sessions
+    with a 10-minute inactivity gap, the native form of the manual
+    lag/flag/running-sum sessionization in sessionize_events.  A new
+    session starts when the gap is >= the timeout (window end is
+    exclusive).  Epoch doubles in the output keep stringification
+    engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    grouped = (
+        ev.withColumn("ts_l", F.col("ts").cast("timestamp_ltz"))
+        .groupBy(F.session_window("ts_l", "600 seconds"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+    return grouped.select(
+        "user_id",
+        F.col("session_window.start").cast("double").alias("session_start"),
+        "n_events",
+        "session_value",
+    )
+
+
+_SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w < INTERVAL 600 SECOND THEN 0 ELSE 1
+         END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged)
+SELECT user_id, epoch(MIN(ts)) AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q_map_funcs(spark, sf_dir):
     """Map-typed column functions: JSON props parsed to map<string,int>,
     exploded to (key, value) rows, aggregated per key.  Map explode is
@@ -1438,6 +1531,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
     "map_funcs": (q_map_funcs, _SQL_MAP_FUNCS),
+    "recursive_date_spine": (q_recursive_date_spine, _SQL_RECURSIVE_SPINE),
+    "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
     "stable_row_ids": (q_stable_row_ids, _SQL_STABLE_IDS),
