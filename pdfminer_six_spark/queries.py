@@ -630,6 +630,85 @@ WHERE EXISTS (
 """
 
 
+def q_window_analytics(spark, sf_dir):
+    """Window analytic function battery: ntile / percent_rank / cume_dist
+    plus lead-with-default — each an exact rational of rank and partition
+    size, so cross-engine doubles are bit-identical.  Ties are impossible
+    in the ordering (o_orderkey is unique)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_key"),
+    )
+
+
+_SQL_WINDOW_ANALYTICS = """
+SELECT o_orderpriority, o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume,
+       COALESCE(LEAD(o_orderkey, 1) OVER w, -1) AS next_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+"""
+
+
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation per group (LISTAGG/STRING_AGG shape):
+    collect -> sort -> join keeps the result deterministic under any
+    partitioning; the oracle's STRING_AGG uses an explicit ORDER BY for
+    the same guarantee."""
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("n_name"))
+            ).alias("nations"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_SQL_STRING_AGG = """
+SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_null_semantics(spark, sf_dir):
+    """NULL-semantics battery over a derived nullable column: COALESCE /
+    NULLIF / null-safe equality (<=> vs IS NOT DISTINCT FROM) and
+    null-aware aggregation (COUNT(col) skips, COUNT(*) doesn't)."""
+    ev = _t(spark, sf_dir, "events")
+    nullable = ev.withColumn(
+        "v", F.nullif(F.col("event_type"), F.lit("click"))
+    )
+    return nullable.groupBy(
+        F.col("v").eqNullSafe(F.lit(None).cast("string")).alias("is_null_v")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.count(F.coalesce("v", F.lit("·"))).alias("n_coalesced"),
+    )
+
+
+_SQL_NULL_SEMANTICS = """
+SELECT (v IS NOT DISTINCT FROM NULL) AS is_null_v,
+       COUNT(*) AS n_rows,
+       COUNT(v) AS n_nonnull,
+       COUNT(COALESCE(v, '·')) AS n_coalesced
+FROM (SELECT NULLIF(event_type, 'click') AS v FROM events)
+GROUP BY 1
+"""
+
+
 def q_recursive_date_spine(spark, sf_dir):
     """Recursive CTE (Spark 4 WITH RECURSIVE) generating a dense month
     spine over the order-date span, left-joined to monthly order counts —
@@ -1532,6 +1611,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "json_props": (q_json_props, _SQL_JSON),
     "map_funcs": (q_map_funcs, _SQL_MAP_FUNCS),
     "recursive_date_spine": (q_recursive_date_spine, _SQL_RECURSIVE_SPINE),
+    "window_analytics": (q_window_analytics, _SQL_WINDOW_ANALYTICS),
+    "string_agg_nations": (q_string_agg, _SQL_STRING_AGG),
+    "null_semantics": (q_null_semantics, _SQL_NULL_SEMANTICS),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
