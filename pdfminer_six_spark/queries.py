@@ -1049,6 +1049,18 @@ def q_dup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+def q_dup_clusters_star(spark, sf_dir):
+    """Same cluster relation, second algorithm: large-star/small-star
+    alternation (dedup.duplicate_clusters_star), the O(log n)-round
+    formulation for adversarial chain graphs.  Shares the oracle with
+    dedup_clusters — both fixpoints must equal the recursive-CTE
+    closure."""
+    pairs = dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+    return dedup.duplicate_clusters_star(pairs)
+
+
 _SQL_DUP_CLUSTERS = f"""
 WITH RECURSIVE pairs AS ({_sql_jaccard(_JACCARD_MAX_DF)}),
 edges AS (
@@ -1628,6 +1640,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_jaccard(None)),  # must equal exact
     "dedup_simhash": (q_simhash_near_dups, None),
     "dedup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
+    "dedup_clusters_star": (q_dup_clusters_star, _SQL_DUP_CLUSTERS),
     "dedup_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "deterministic_split": (q_deterministic_split, _SQL_DETERMINISTIC_SPLIT),
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),

@@ -105,6 +105,35 @@ def test_jaccard_df_cut_nonbinding_is_exact(docs):
     assert exact and with_cut == exact
 
 
+def test_session_window_gap_boundary(spark):
+    """F.session_window boundary semantics: gap strictly less than the
+    timeout merges; gap exactly equal starts a NEW session (window end
+    is exclusive) — the rule the session_window_agg oracle encodes."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "uid": [1, 1, 1],
+                "ts": [
+                    t0,
+                    t0 + dt.timedelta(seconds=599),   # gap 599 < 600: merge
+                    t0 + dt.timedelta(seconds=1199),  # gap 600 == 600: new
+                ],
+            }
+        )
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "600 seconds"), "uid")
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in out) == [1, 2]
+
+
 def test_contamination_pairs_counts(spark):
     """n-gram collisions between train and eval: shared 3-grams counted
     per (train, eval) pair; disjoint docs produce no row; the join plan
