@@ -763,10 +763,12 @@ FROM spine s LEFT JOIN monthly m ON s.month = m.month
 def q_session_window_agg(spark, sf_dir):
     """Built-in session windows (F.session_window): per-user sessions
     with a 10-minute inactivity gap, the native form of the manual
-    lag/flag/running-sum sessionization in sessionize_events.  A new
-    session starts when the gap is >= the timeout (window end is
-    exclusive).  Epoch doubles in the output keep stringification
-    engine-stable."""
+    lag/flag/running-sum sessionization in sessionize_events.  The gap
+    boundary is INCLUSIVE: an event exactly timeout seconds after the
+    previous one still merges (probed, not assumed — see
+    test_session_window_gap_boundary), so the oracle's split rule is
+    gap > timeout, identical to sessionize_events.  Epoch doubles in the
+    output keep stringification engine-stable."""
     ev = _t(spark, sf_dir, "events")
     grouped = (
         ev.withColumn("ts_l", F.col("ts").cast("timestamp_ltz"))
@@ -787,7 +789,7 @@ def q_session_window_agg(spark, sf_dir):
 _SQL_SESSION_WINDOW = """
 WITH flagged AS (
   SELECT user_id, value, ts, event_id,
-         CASE WHEN ts - LAG(ts) OVER w < INTERVAL 600 SECOND THEN 0 ELSE 1
+         CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 600 SECOND THEN 0 ELSE 1
          END AS new_session
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (

@@ -106,9 +106,10 @@ def test_jaccard_df_cut_nonbinding_is_exact(docs):
 
 
 def test_session_window_gap_boundary(spark):
-    """F.session_window boundary semantics: gap strictly less than the
-    timeout merges; gap exactly equal starts a NEW session (window end
-    is exclusive) — the rule the session_window_agg oracle encodes."""
+    """F.session_window boundary semantics (probed, load-bearing for the
+    session_window_agg oracle): a gap EXACTLY equal to the timeout still
+    merges — the split rule is gap > timeout, same as sessionize_events —
+    and a gap one second past it splits."""
     import datetime as dt
 
     from pyspark.sql import functions as F
@@ -117,11 +118,12 @@ def test_session_window_gap_boundary(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
             {
-                "uid": [1, 1, 1],
+                "uid": [1, 1, 1, 1],
                 "ts": [
                     t0,
-                    t0 + dt.timedelta(seconds=599),   # gap 599 < 600: merge
-                    t0 + dt.timedelta(seconds=1199),  # gap 600 == 600: new
+                    t0 + dt.timedelta(seconds=599),   # gap 599: merge
+                    t0 + dt.timedelta(seconds=1199),  # gap 600 == 600: merge
+                    t0 + dt.timedelta(seconds=1800),  # gap 601: NEW session
                 ],
             }
         )
@@ -131,7 +133,7 @@ def test_session_window_gap_boundary(spark):
         .count()
         .collect()
     )
-    assert sorted(r["count"] for r in out) == [1, 2]
+    assert sorted(r["count"] for r in out) == [1, 3]
 
 
 def test_contamination_pairs_counts(spark):
