@@ -630,6 +630,73 @@ WHERE EXISTS (
 """
 
 
+def q_set_ops_bag(spark, sf_dir):
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiplicities are preserved — the variant a dedup pipeline uses to
+    count surviving copies, not just membership.  Spark: intersectAll /
+    exceptAll."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    open_ = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    inter = urgent.intersectAll(open_).groupBy("o_custkey").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("intersect_all"))
+    exc = urgent.exceptAll(open_).groupBy("o_custkey").agg(
+        F.count("*").alias("n")
+    ).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(exc)
+
+
+_SQL_SET_OPS_BAG = """
+WITH urgent AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+open_ AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+i AS (SELECT o_custkey FROM urgent INTERSECT ALL SELECT o_custkey FROM open_),
+e AS (SELECT o_custkey FROM urgent EXCEPT ALL SELECT o_custkey FROM open_)
+SELECT o_custkey, COUNT(*) AS n, 'intersect_all' AS op FROM i GROUP BY 1
+UNION ALL
+SELECT o_custkey, COUNT(*) AS n, 'except_all' AS op FROM e GROUP BY 1
+"""
+
+
+def q_unpivot_token_stats(spark, sf_dir):
+    """UNPIVOT (wide -> long), the inverse of pivot_segments: per-doc
+    token-stat columns melted to (doc_id, metric, value) rows.  Spark's
+    DataFrame.unpivot == SQL UNPIVOT == DuckDB UNPIVOT."""
+    from pdfminer_six_spark.ops.textstats import with_token_stats
+
+    wide = with_token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+    )
+    return wide.unpivot(
+        ["doc_id"],
+        ["n_tokens", "n_bpe_tokens", "n_punct"],
+        "metric",
+        "value",
+    )
+
+
+_SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+      AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+      AS BIGINT) AS n_bpe_tokens,
+    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g'))
+      AS BIGINT) AS n_punct
+  FROM documents)
+UNPIVOT wide ON n_tokens, n_bpe_tokens, n_punct
+INTO NAME metric VALUE value
+"""
+
+
 def q_window_analytics(spark, sf_dir):
     """Window analytic function battery: ntile / percent_rank / cume_dist
     plus lead-with-default — each an exact rational of rank and partition
@@ -1617,6 +1684,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "pivot_segments": (q_pivot_segments, _SQL_PIVOT),
     "topk_orders": (q_topk_orders, _SQL_TOPK),
     "set_ops_brands": (q_set_ops, _SQL_SET_OPS),
+    "set_ops_bag": (q_set_ops_bag, _SQL_SET_OPS_BAG),
+    "unpivot_token_stats": (q_unpivot_token_stats, _SQL_UNPIVOT),
     "distinct_by_segment": (q_distinct_by_segment, _SQL_DISTINCT),
     "string_funcs": (q_string_funcs, _SQL_STRING),
     "monthly_orders": (q_monthly_orders, _SQL_MONTHLY),
