@@ -630,6 +630,32 @@ WHERE EXISTS (
 """
 
 
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with LIMIT: top-2 customers by account
+    balance per region — the dependent-join form of per-group top-k
+    (Catalyst decorrelates it; the window-function form is
+    window_topn_per_customer).  Deterministic via the (balance, custkey)
+    tiebreak."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("v_lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    return spark.sql(
+        _LATERAL_BODY.format(nation="v_lat_nation", customer="v_lat_customer")
+    )
+
+
+_LATERAL_BODY = """
+SELECT r.n_regionkey, t.c_custkey, t.bal
+FROM (SELECT DISTINCT n_regionkey FROM {nation}) r,
+LATERAL (
+  SELECT c.c_custkey, ROUND(c.c_acctbal, 2) AS bal
+  FROM {customer} c JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.n_regionkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2) t
+"""
+
+_SQL_LATERAL = _LATERAL_BODY.format(nation="nation", customer="customer")
+
+
 def q_set_ops_bag(spark, sf_dir):
     """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
     multiplicities are preserved — the variant a dedup pipeline uses to
@@ -1685,6 +1711,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "topk_orders": (q_topk_orders, _SQL_TOPK),
     "set_ops_brands": (q_set_ops, _SQL_SET_OPS),
     "set_ops_bag": (q_set_ops_bag, _SQL_SET_OPS_BAG),
+    "lateral_topn_per_region": (q_lateral_topn, _SQL_LATERAL),
     "unpivot_token_stats": (q_unpivot_token_stats, _SQL_UNPIVOT),
     "distinct_by_segment": (q_distinct_by_segment, _SQL_DISTINCT),
     "string_funcs": (q_string_funcs, _SQL_STRING),

@@ -193,3 +193,28 @@ def test_tfidf_partial_aggregation(spark):
     plan = _plan(tfidf_top_terms(docs, k=3))
     assert "partial_count" in plan
     assert "BroadcastExchange" in plan  # the 1-row corpus-size join
+
+
+def test_no_accidental_cartesian_or_nested_loop_joins(spark):
+    """Repo-wide plan invariant: NO query compiles to a cartesian product,
+    and nested-loop joins appear only where they are the design:
+    range_join_bands (the range-join demonstration), the 1-row broadcast
+    corpus-size join in TF-IDF, and the two intentionally-exact
+    broadcast-side baselines (brute-force ANN, exact embedding pairs).
+    A new query accidentally planning O(n^2) fails here immediately."""
+    from pdfminer_six_spark.queries import QUERIES
+
+    BNLJ_ALLOWED = {
+        "range_join_bands",
+        "text_tfidf_top_terms",
+        "ann_topk_cosine",
+        "embedding_near_dups",
+    }
+    offenders = {}
+    for name, (fn, _sql) in QUERIES.items():
+        plan = _plan(fn(spark, SF_DIR.replace("sf0.01", "sf0.001")))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
