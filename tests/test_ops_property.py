@@ -126,3 +126,80 @@ def test_jaccard_cut_equals_python_model_random(spark, seed, max_df):
     }
     want = _py_jaccard_pairs(texts, 0.3, max_df=max_df)
     assert got == want
+
+
+def test_asof_join_equals_pandas_merge_asof(spark):
+    """Differential oracle on random data: the union+window as-of join
+    must equal pandas.merge_asof(direction='backward',
+    allow_exact_matches=True) for every key, including duplicate left
+    timestamps and keys with no match (pandas keeps them with NaN; our
+    inner form drops them)."""
+    rng = random.Random(42)
+    n_keys = 8
+    left_rows = []
+    for i in range(200):
+        left_rows.append(
+            (rng.randrange(n_keys), rng.randrange(1000), i)
+        )
+    right_rows = []
+    for j in range(120):
+        # duplicate (key, ts) on the right are pre-aggregated away, as
+        # the operator contract requires
+        right_rows.append((rng.randrange(n_keys), rng.randrange(1000), j))
+    rdf = (
+        pd.DataFrame(right_rows, columns=["k", "rt", "rid"])
+        .sort_values(["k", "rt", "rid"])
+        .groupby(["k", "rt"], as_index=False)
+        .last()  # max rid per (k, rt): deterministic tie rule
+    )
+    ldf = pd.DataFrame(left_rows, columns=["k", "lt", "lid"])
+
+    expected = pd.merge_asof(
+        ldf.sort_values(["lt", "lid"]),
+        rdf.sort_values("rt"),
+        left_on="lt",
+        right_on="rt",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    expected = expected.dropna(subset=["rid"])
+    want = {
+        (int(r.k), int(r.lid)): int(r.rid) for r in expected.itertuples()
+    }
+
+    from pdfminer_six_spark.ops.joins import asof_join
+
+    got_rows = asof_join(
+        spark.createDataFrame(ldf),
+        spark.createDataFrame(rdf),
+        on=["k"],
+        left_ts="lt",
+        right_ts="rt",
+        value_cols=["rid"],
+    ).collect()
+    got = {(r["k"], r["lid"]): r["rid_asof"] for r in got_rows}
+    assert got == want
+
+
+def test_stable_row_ids_equals_pandas_rank(spark):
+    """Differential oracle: two-phase numbering == pandas argsort rank
+    on random gapped keys, across several partition counts."""
+    from pdfminer_six_spark.ops.ids import stable_row_ids
+
+    rng = random.Random(9)
+    keys = rng.sample(range(100000), 500)
+    pdf = pd.DataFrame({"k": keys})
+    want = {
+        k: i for i, k in enumerate(sorted(keys))
+    }
+    for parts in (1, 3, 16):
+        got = {
+            r["k"]: r["row_id"]
+            for r in stable_row_ids(
+                spark.createDataFrame(pdf).repartition(5),
+                ["k"],
+                num_partitions=parts,
+            ).collect()
+        }
+        assert got == want, f"num_partitions={parts}"
