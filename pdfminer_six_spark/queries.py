@@ -897,6 +897,22 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ approximate distinct counts per event type next to
+    the exact counts — the mergeable cardinality sketch that replaces
+    COUNT(DISTINCT) at 100 TB (one pass, map-side partials, constant
+    memory vs the exact path's full shuffle of the distinct keys).
+    Rows-only: Spark's HLL++ and DuckDB's sketch implementations differ
+    by design; the accuracy contract is pytest-verified against the
+    exact count instead (test_hll_accuracy_vs_exact)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_map_funcs(spark, sf_dir):
     """Map-typed column functions: JSON props parsed to map<string,int>,
     exploded to (key, value) rows, aggregated per key.  Map explode is
@@ -1720,6 +1736,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
     "map_funcs": (q_map_funcs, _SQL_MAP_FUNCS),
+    "approx_distinct_users": (q_approx_distinct, None),
     "recursive_date_spine": (q_recursive_date_spine, _SQL_RECURSIVE_SPINE),
     "window_analytics": (q_window_analytics, _SQL_WINDOW_ANALYTICS),
     "string_agg_nations": (q_string_agg, _SQL_STRING_AGG),

@@ -105,6 +105,19 @@ def test_jaccard_df_cut_nonbinding_is_exact(docs):
     assert exact and with_cut == exact
 
 
+def test_hll_accuracy_vs_exact(spark):
+    """approx_count_distinct at rsd=0.02 lands within 3 rsd of the exact
+    per-group cardinality on the events table."""
+    from pdfminer_six_spark.queries import q_approx_distinct
+
+    rows = q_approx_distinct(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        exact = r["exact_users"]
+        assert exact > 0
+        assert abs(r["approx_users"] - exact) <= max(3, 0.06 * exact), r
+
+
 def test_session_window_gap_boundary(spark):
     """F.session_window boundary semantics (probed, load-bearing for the
     session_window_agg oracle): a gap EXACTLY equal to the timeout still
