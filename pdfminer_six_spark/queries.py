@@ -296,6 +296,28 @@ GROUP BY n_name
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (arbitrary set list, unlike the
+    rollup/cube prefixes) with GROUPING() markers so NULL-as-subtotal is
+    distinguishable from NULL-as-value — the full grouping-sets surface
+    beyond rollup_orders and cube_orders."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_gs_orders")
+    return spark.sql(_GROUPING_SETS_BODY.format(orders="v_gs_orders"))
+
+
+_GROUPING_SETS_BODY = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n
+FROM {orders}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+_SQL_GROUPING_SETS = _GROUPING_SETS_BODY.format(orders="orders")
+
+
 def q_topk_orders(spark, sf_dir):
     """ORDER BY + LIMIT (TakeOrderedAndProject — no full sort at scale)."""
     orders = _t(spark, sf_dir, "orders")
@@ -1724,6 +1746,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "rollup_orders": (q_rollup_orders, _SQL_ROLLUP),
     "cube_orders": (q_cube_orders, _SQL_CUBE),
     "pivot_segments": (q_pivot_segments, _SQL_PIVOT),
+    "grouping_sets_orders": (q_grouping_sets, _SQL_GROUPING_SETS),
     "topk_orders": (q_topk_orders, _SQL_TOPK),
     "set_ops_brands": (q_set_ops, _SQL_SET_OPS),
     "set_ops_bag": (q_set_ops_bag, _SQL_SET_OPS_BAG),
