@@ -406,6 +406,34 @@ FROM orders GROUP BY 1
 """
 
 
+def q_date_funcs(spark, sf_dir):
+    """Date-function battery: add-days, month end, day difference from a
+    fixed anchor, ISO week start — each engine's idiom mapped explicitly
+    (Spark trunc/date_add vs DuckDB date_trunc/+int); everything emitted
+    as strings/ints so stringification is engine-stable."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("string").alias("due_30d"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.trunc(d, "WEEK").cast("string").alias("week_start"),
+    )
+
+
+_SQL_DATE_FUNCS = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS STRING) AS due_30d,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) AS month_end,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         AS INT) AS days_since,
+       CAST(CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+         AS STRING) AS week_start
+FROM orders
+"""
+
+
 def q_math_case(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
@@ -1755,6 +1783,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "distinct_by_segment": (q_distinct_by_segment, _SQL_DISTINCT),
     "string_funcs": (q_string_funcs, _SQL_STRING),
     "monthly_orders": (q_monthly_orders, _SQL_MONTHLY),
+    "date_funcs": (q_date_funcs, _SQL_DATE_FUNCS),
     "math_case": (q_math_case, _SQL_MATH),
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
