@@ -406,6 +406,31 @@ FROM orders GROUP BY 1
 """
 
 
+def q_regexp_funcs(spark, sf_dir):
+    """Regexp battery over documents: match counting, group extraction
+    (no-match yields '' on both engines — probed), and backreference
+    swap (Spark `$1` vs DuckDB `\\1` idioms mapped in the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("scan")).alias("n_scan"),
+        F.regexp_extract("text", "the ([a-z]+)", 1).alias("after_the"),
+        F.regexp_replace(
+            F.substring("text", 1, 40), "(\\w+) (\\w+)", "$2 $1"
+        ).alias("swapped_head"),
+    )
+
+
+_SQL_REGEXP_FUNCS = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, 'scan')) AS INT) AS n_scan,
+       regexp_extract(text, 'the ([a-z]+)', 1) AS after_the,
+       regexp_replace(substr(text, 1, 40), '(\\w+) (\\w+)', '\\2 \\1', 'g')
+         AS swapped_head
+FROM documents
+"""
+
+
 def q_date_funcs(spark, sf_dir):
     """Date-function battery: add-days, month end, day difference from a
     fixed anchor, ISO week start — each engine's idiom mapped explicitly
@@ -1784,6 +1809,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "string_funcs": (q_string_funcs, _SQL_STRING),
     "monthly_orders": (q_monthly_orders, _SQL_MONTHLY),
     "date_funcs": (q_date_funcs, _SQL_DATE_FUNCS),
+    "regexp_funcs": (q_regexp_funcs, _SQL_REGEXP_FUNCS),
     "math_case": (q_math_case, _SQL_MATH),
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
