@@ -406,6 +406,69 @@ FROM orders GROUP BY 1
 """
 
 
+def q_array_funcs(spark, sf_dir):
+    """Higher-order array-function battery — distinct/intersect/sort/
+    slice plus a fold (aggregate) — with every output reduced to scalars
+    (array-typed driver outputs are forbidden by the canonicalizer)."""
+    from pdfminer_six_spark.ops.textstats import STOPWORDS, tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.array_intersect(toks, stop)).alias("n_stop_kinds"),
+        F.concat_ws("|", F.slice(toks, 1, 3)).alias("first3"),
+        F.sort_array(toks)[0].alias("alpha_first"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_token_len"),
+    )
+
+
+_ARRAY_STOP_SQL = "['the','and','of','to','in','is','that','for','with','it']"
+
+_SQL_ARRAY_FUNCS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+       CAST(len(list_intersect(t, {_ARRAY_STOP_SQL})) AS INT)
+         AS n_stop_kinds,
+       array_to_string(t[1:3], '|') AS first3,
+       list_sort(t)[1] AS alpha_first,
+       CAST(list_max(list_transform(t, x -> length(x))) AS BIGINT)
+         AS max_token_len
+FROM toks
+"""
+
+
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregation: the SQL FILTER clause (supported by both
+    engines), count_if, and bool_and/bool_or — the idioms that avoid
+    self-joins for per-predicate counts."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_ca_orders")
+    return spark.sql(_CONDITIONAL_AGG_BODY.format(orders="v_ca_orders"))
+
+
+_CONDITIONAL_AGG_BODY = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+       bool_or(o_totalprice > 400000) AS any_huge,
+       bool_and(o_totalprice > 1000) AS all_over_1k
+FROM {orders} GROUP BY o_orderstatus
+"""
+
+_SQL_CONDITIONAL_AGG = _CONDITIONAL_AGG_BODY.format(orders="orders")
+
+
 def q_regexp_funcs(spark, sf_dir):
     """Regexp battery over documents: match counting, group extraction
     (no-match yields '' on both engines — probed), and backreference
@@ -1810,6 +1873,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "monthly_orders": (q_monthly_orders, _SQL_MONTHLY),
     "date_funcs": (q_date_funcs, _SQL_DATE_FUNCS),
     "regexp_funcs": (q_regexp_funcs, _SQL_REGEXP_FUNCS),
+    "array_funcs": (q_array_funcs, _SQL_ARRAY_FUNCS),
+    "conditional_agg": (q_conditional_agg, _SQL_CONDITIONAL_AGG),
     "math_case": (q_math_case, _SQL_MATH),
     "word_explode": (q_word_explode, _SQL_WORD_EXPLODE),
     "json_props": (q_json_props, _SQL_JSON),
