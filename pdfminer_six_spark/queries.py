@@ -1249,6 +1249,34 @@ FROM documents
 """
 
 
+def q_group_sample(spark, sf_dir):
+    """Reproducible per-group sampling: k docs per language chosen by
+    md5-hash rank — a pure function of the data, so every engine, run,
+    and partitioning draws the same sample (rand()-based sampling is
+    non-reproducible under retries/speculation; TABLESAMPLE is
+    engine-specific).  The per-group rank is one window over the group
+    key — the same shape at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.col("rn").alias("sample_rank"))
+    )
+
+
+_SQL_GROUP_SAMPLE = """
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= 5
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/eval n-gram contamination scan (ops.dedup.contamination_pairs):
     every 25th document plays the held-out eval set; training docs sharing
@@ -1901,6 +1929,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_clusters_star": (q_dup_clusters_star, _SQL_DUP_CLUSTERS),
     "dedup_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
     "deterministic_split": (q_deterministic_split, _SQL_DETERMINISTIC_SPLIT),
+    "group_sample": (q_group_sample, _SQL_GROUP_SAMPLE),
     "text_token_stats": (q_token_stats, _SQL_TOKEN_STATS),
     "text_fingerprint": (q_fingerprint, _SQL_FINGERPRINT),
     "text_rollfp_digest": (q_rollfp_digest, _SQL_ROLLFP_DIGEST),
