@@ -643,6 +643,27 @@ FROM events e ASOF JOIN r
 """
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-level aggregation (ops.agg.salted_sum_count):
+    partials on (key, salt) spread a hot key over 16 tasks before the
+    per-key merge.  DECIMAL accumulation makes the two-level sum exactly
+    equal to the oracle's direct one-level sum — the salting is
+    semantically invisible, which is the whole point."""
+    from pdfminer_six_spark.ops.agg import salted_sum_count
+
+    return salted_sum_count(
+        _t(spark, sf_dir, "orders"), ["o_custkey"], "o_totalprice"
+    )
+
+
+_SQL_SALTED_AGG = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n_rows
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_stable_row_ids(spark, sf_dir):
     """Global consecutive row numbering in key order WITHOUT the
     single-partition window cliff (ops.ids.stable_row_ids: range
@@ -1916,6 +1937,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
     "stable_row_ids": (q_stable_row_ids, _SQL_STABLE_IDS),
+    "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),
     "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     "exists_subqueries": (q_exists_subqueries, _SQL_EXISTS),

@@ -218,3 +218,40 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_salted_agg_two_exchanges_and_skew_spread(spark):
+    """The salted aggregate plans TWO hash exchanges (the (key,salt)
+    partial, then the per-key merge) and spreads a pathological hot key
+    over multiple salt buckets."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.agg import salted_sum_count
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1] * 5000 + [2, 3],        # one hot key
+                "v": [1.0] * 5000 + [2.0, 3.0],
+                "row": range(5002),
+            }
+        )
+    )
+    out = salted_sum_count(df, ["k"], "v", buckets=8)
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 2
+    got = {r["k"]: (r["total"], r["n_rows"]) for r in out.collect()}
+    assert got == {1: (5000.0, 5000), 2: (2.0, 1), 3: (3.0, 1)}
+    # the hot key's rows really did land in several salt buckets
+    from pyspark.sql import functions as F
+    n_buckets = (
+        df.withColumn(
+            "_s",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8)),
+        )
+        .filter(F.col("k") == 1)
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 6
