@@ -818,6 +818,62 @@ def test_streaming_dedup_drops_redelivered_turns(spark, tmp_path):
     assert texts == ["edited reply", "hello world", "new turn", "reply"]
 
 
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """Built-in session windows on a STREAM: watermarked per-conversation
+    sessions close after the gap and emit once (append mode) — the
+    native counterpart to the applyInPandasWithState sessionizer."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+
+    src = tmp_path / "sw_in"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 8, 0, 0)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(str(src / name))
+
+    # session 1: two turns 5 min apart; then 2h silence; a late turn
+    # far past the watermark horizon closes session 1
+    write("f1.parquet", [
+        ("c1", 0, "user", "a", "", t0),
+        ("c1", 1, "assistant", "b", "", t0 + dt.timedelta(minutes=5)),
+    ])
+    write("f2.parquet", [
+        ("c1", 2, "user", "c", "", t0 + dt.timedelta(hours=4)),
+    ])
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    sessions = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "conv_id")
+        .agg(F.count("*").alias("n_turns"))
+    )
+    q = (
+        sessions.writeStream.format("memory").queryName("sw_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    closed = spark.sql(
+        "select conv_id, n_turns from sw_test"
+    ).collect()
+    # the first session (2 turns) must have closed and emitted; the
+    # 4h-later session is still open (only emitted on a later watermark
+    # advance), so exactly one closed row is visible
+    assert [(r.conv_id, r.n_turns) for r in closed] == [("c1", 2)]
+
+
 def test_streaming_idempotent_sink_replay_safe(spark, tmp_path):
     """foreachBatch batch-id-keyed sink: incremental batches land once;
     a simulated crash-replay of the last batch (same batch_id re-written)
