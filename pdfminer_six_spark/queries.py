@@ -643,6 +643,40 @@ FROM events e ASOF JOIN r
 """
 
 
+def q_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals — the one-pass profiling
+    aggregate: global min/max from a 1-row broadcast aggregate, bin by
+    integer floor arithmetic (identical IEEE expression both engines),
+    count per bin.  At 100 TB this is two scans (or one with a sketch);
+    never a sort."""
+    orders = _t(spark, sf_dir, "orders")
+    mm = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = orders.crossJoin(F.broadcast(mm)).withColumn(
+        "bin",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("int"),
+            F.lit(9),
+        ),
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n"))
+
+
+_SQL_HISTOGRAM = """
+WITH mm AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS INT), 9)
+         AS bin,
+       COUNT(*) AS n
+FROM orders CROSS JOIN mm
+GROUP BY 1
+"""
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-resistant two-level aggregation (ops.agg.salted_sum_count):
     partials on (key, salt) spread a hot key over 16 tasks before the
@@ -1938,6 +1972,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
     "stable_row_ids": (q_stable_row_ids, _SQL_STABLE_IDS),
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),
+    "histogram_totals": (q_histogram, _SQL_HISTOGRAM),
     "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     "exists_subqueries": (q_exists_subqueries, _SQL_EXISTS),
