@@ -916,6 +916,36 @@ INTO NAME metric VALUE value
 """
 
 
+def q_window_frame_values(spark, sf_dir):
+    """first_value / last_value / nth_value with an explicit
+    unbounded-both-ways frame — the classic gotcha (default frames stop
+    at CURRENT ROW, so last_value silently returns the current row)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_key"),
+        F.last_value("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
+
+
+_SQL_WINDOW_FRAME_VALUES = """
+SELECT o_orderpriority, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_key,
+       LAST_VALUE(o_orderkey) OVER w AS last_key,
+       NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_window_analytics(spark, sf_dir):
     """Window analytic function battery: ntile / percent_rank / cume_dist
     plus lead-with-default — each an exact rational of rank and partition
@@ -1965,6 +1995,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "approx_distinct_users": (q_approx_distinct, None),
     "recursive_date_spine": (q_recursive_date_spine, _SQL_RECURSIVE_SPINE),
     "window_analytics": (q_window_analytics, _SQL_WINDOW_ANALYTICS),
+    "window_frame_values": (q_window_frame_values, _SQL_WINDOW_FRAME_VALUES),
     "string_agg_nations": (q_string_agg, _SQL_STRING_AGG),
     "null_semantics": (q_null_semantics, _SQL_NULL_SEMANTICS),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
