@@ -106,3 +106,44 @@ def test_bucketed_tables_join_without_shuffle(spark):
         assert sum(rows.values()) == orders.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """jobs/dedup.py: LSH pairs -> clusters -> survivors; survivors keep
+    exactly one doc (the min id) per duplicate cluster and every
+    pair-free doc."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "jobs_dedup",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", "dedup.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    out = tmp_path / "dd_survivors"
+    pairs_out = tmp_path / "dd_pairs"
+    clusters_out = tmp_path / "dd_clusters"
+    args = job.build_args([
+        "--input", "/root/testdata/sf0.01/documents.parquet",
+        "--output", str(out),
+        "--pairs-output", str(pairs_out),
+        "--clusters-output", str(clusters_out),
+        "--method", "lsh",
+        "--threshold", "0.6",
+    ])
+    stats = job.run(spark, args)
+    assert stats["n_docs"] == 500
+    assert stats["n_pairs"] == 25  # known near-dup pairs at sf0.01
+    assert stats["n_survivors"] == stats["n_docs"] - stats["n_dropped"]
+    surv = spark.read.parquet(str(out))
+    clus = spark.read.parquet(str(clusters_out))
+    # every cluster keeps exactly its min member
+    kept = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    for row in clus.collect():
+        if row["doc_id"] == row["cluster_id"]:
+            assert row["doc_id"] in kept
+        else:
+            assert row["doc_id"] not in kept
+    assert surv.count() == stats["n_survivors"]
