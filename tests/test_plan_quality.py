@@ -209,6 +209,7 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         "text_tfidf_top_terms",
         "ann_topk_cosine",
         "embedding_near_dups",
+        "histogram_totals",  # 1-row min/max broadcast cross join
     }
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():
