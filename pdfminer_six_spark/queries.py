@@ -998,6 +998,67 @@ FROM nation GROUP BY n_regionkey
 """
 
 
+def q_not_in_null_trap(spark, sf_dir):
+    """The NOT IN null trap, demonstrated side by side: a NULL in the
+    subquery list makes `x NOT IN (...)` three-valued-logic empty, while
+    NOT EXISTS keeps the expected rows — the classic silent-wrong-answer
+    both engines implement per the SQL standard.  One row per variant
+    with its surviving count."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_nin_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_nin_orders")
+    return spark.sql(
+        _NOT_IN_BODY.format(customer="v_nin_customer", orders="v_nin_orders")
+    )
+
+
+_NOT_IN_BODY = """
+WITH keys_with_null AS (
+  SELECT o_custkey FROM {orders} WHERE o_orderpriority = '1-URGENT'
+  UNION ALL SELECT CAST(NULL AS BIGINT)),
+via_not_in AS (
+  SELECT COUNT(*) AS n FROM {customer}
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM keys_with_null)),
+via_not_exists AS (
+  SELECT COUNT(*) AS n FROM {customer} c
+  WHERE NOT EXISTS (SELECT 1 FROM keys_with_null k
+                    WHERE k.o_custkey = c.c_custkey))
+SELECT 'not_in' AS variant, n FROM via_not_in
+UNION ALL
+SELECT 'not_exists' AS variant, n FROM via_not_exists
+"""
+
+_SQL_NOT_IN = _NOT_IN_BODY.format(customer="customer", orders="orders")
+
+
+def q_try_cast_parse(spark, sf_dir):
+    """Error-safe parsing of dirty fields (TRY_CAST): the first
+    whitespace token of each document cast to int — NULL on
+    non-numeric — then aggregated.  The never-throw cast is how a web
+    pipeline survives 10^12 dirty rows without task failures."""
+    docs = _t(spark, sf_dir, "documents")
+    from pdfminer_six_spark.ops.textstats import tokens_col
+
+    first_tok = tokens_col(F.col("text"))[0]
+    parsed = docs.select(first_tok.try_cast("int").alias("v"))
+    return parsed.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v").alias("n_numeric"),
+        F.coalesce(F.sum("v"), F.lit(0)).alias("numeric_sum"),
+    )
+
+
+_SQL_TRY_CAST = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(v) AS n_numeric,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS numeric_sum
+FROM (
+  SELECT TRY_CAST(
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')[1]
+    AS INTEGER) AS v
+  FROM documents)
+"""
+
+
 def q_null_semantics(spark, sf_dir):
     """NULL-semantics battery over a derived nullable column: COALESCE /
     NULLIF / null-safe equality (<=> vs IS NOT DISTINCT FROM) and
@@ -1998,6 +2059,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "window_frame_values": (q_window_frame_values, _SQL_WINDOW_FRAME_VALUES),
     "string_agg_nations": (q_string_agg, _SQL_STRING_AGG),
     "null_semantics": (q_null_semantics, _SQL_NULL_SEMANTICS),
+    "not_in_null_trap": (q_not_in_null_trap, _SQL_NOT_IN),
+    "try_cast_parse": (q_try_cast_parse, _SQL_TRY_CAST),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
     "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
