@@ -182,3 +182,31 @@ def test_char_spans_tile_text(spark, transcripts_pdf):
                 assert r.text[s.end - 1] == "\f"
             checked += 1
     assert checked > 0
+
+
+def test_driver_entry_surface(spark):
+    """__spark_entry__ contract: entry() returns a non-empty DataFrame
+    with a stable schema; every queries() key resolves to a callable;
+    every oracle_sql() key is a registered query."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    df = mod.entry(spark)
+    cols = set(df.columns)
+    assert {"conv_id", "turn_idx", "status", "text"} <= cols
+    assert "spans" in cols or "spans_json" in cols
+    assert df.count() > 0
+    qs = mod.queries()
+    osql = mod.oracle_sql()
+    assert len(qs) >= 76 and all(callable(f) for f in qs.values())
+    assert set(osql) <= set(qs)
+    assert all(isinstance(s, str) and "SELECT" in s.upper()
+               for s in osql.values())
