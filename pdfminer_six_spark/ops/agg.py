@@ -25,23 +25,34 @@ def salted_sum_count(
     keys: Sequence[str],
     value: str,
     buckets: int = 16,
+    scale: int = 2,
 ) -> DataFrame:
     """SUM(value) and COUNT(*) per key via (key, salt) partials.
 
-    The salt is derived from the whole row's monotonically increasing id
-    surrogate — `pmod(xxhash64(all cols), buckets)` — so rows of the hot
-    key spread uniformly without any RNG (deterministic replay under
-    retries).  Returns one row per key: (keys..., total, n_rows)."""
+    The salt hashes the row's physical position — `pmod(xxhash64(
+    spark_partition_id(), monotonically_increasing_id()), buckets)` — not
+    the row's content: a content hash sends fully identical duplicate
+    rows (common in a dedup-oriented corpus) to ONE bucket, defeating the
+    spread exactly where the hot key is hottest.  Position is RNG-free
+    and task-deterministic, and the salt only routes partials — the merged
+    result is salt-independent, so speculative re-execution is safe.
+    Returns one row per key: (keys..., total, n_rows)."""
     keys = list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), F.monotonically_increasing_id()),
+        F.lit(buckets),
+    )
     # DECIMAL accumulation: exact and associative, so the two-level sum
     # is bit-identical to a direct one-level sum (a double sum would
-    # differ in the last ulps because the addition ORDER changes)
+    # differ in the last ulps because the addition ORDER changes).
+    # ``scale`` is the decimal scale values are rounded to on entry —
+    # inputs with more fractional digits than ``scale`` are rounded, so
+    # pick the scale of your data (2 suits money-like columns).
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*keys, "_salt")
         .agg(
-            F.sum(F.col(value).cast("decimal(18,2)")).alias("_psum"),
+            F.sum(F.col(value).cast(f"decimal(18,{scale})")).alias("_psum"),
             F.count("*").alias("_pn"),
         )
     )

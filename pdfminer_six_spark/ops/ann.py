@@ -277,25 +277,33 @@ def ivf_topk(
     assigned = model.transform(emb_v).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
     )
-    centers = model.clusterCenters()
-
-    # rank cells per query by centroid distance, keep n_probe
-    q_rows = queries.collect()
-    probe_pairs = []
-    for row in q_rows:
-        qv = list(row.qvec)
-        dists = sorted(
-            (
-                (sum((a - b) ** 2 for a, b in zip(qv, c)), ci)
-                for ci, c in enumerate(centers)
-            )
-        )
-        for _d, ci in dists[:n_probe]:
-            probe_pairs.append((row.query_id, int(ci), qv))
+    # rank cells per query by centroid distance, keep n_probe — fully
+    # distributed: centers are model state (n_clusters rows, driver-local
+    # by construction), broadcast against the query relation, ranked with
+    # a per-query window.  No queries.collect(): 10^5 probe vectors stay
+    # on executors.
     spark = embeddings.sparkSession
-    probes = spark.createDataFrame(
-        probe_pairs, ["query_id", "cell", "qvec"]
-    ).withColumn("qvec", F.col("qvec").cast("array<float>"))
+    centers_df = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "qvec",
+            "center",
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w_cells = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(centers_df))
+        .withColumn("d2", d2)
+        .withColumn("cell_rank", F.row_number().over(w_cells))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "cell", "qvec")
+    )
 
     joined = assigned.join(F.broadcast(probes), on="cell")
     scored = joined.select(

@@ -262,18 +262,23 @@ LAYOUT_UNION_SCHEMA = StructType(
 )
 
 
-def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
+def extract_layout_tables(
+    df: DataFrame, password: str = "", persist: bool = True
+) -> dict:
     """transcripts -> {chars, lines, boxes} flattened layout relations.
 
     Only PDF turns contribute.  Single-pass: ONE ``mapInPandas`` parses each
     payload once, walks the raw (unanalyzed) page for emission-ordered chars
     — the exact input order of the L1 char->line operator — then runs
     LAParams analysis on the same tree (identical to LayoutDevice.end_page,
-    device.py:150-151) and walks boxes/lines.  The tagged union is persisted
-    so the three filtered views share the one kernel run; PDF parsing is the
-    dominant cost, so this is 3× cheaper than a kernel run per relation
-    (VERDICT r01 'what's wrong' #5).  Callers that consume the views should
-    ``unpersist()`` the returned ``_union`` when done.
+    device.py:150-151) and walks boxes/lines.  With ``persist=True`` the
+    tagged union is cached so the three filtered views share the one kernel
+    run; PDF parsing is the dominant cost, so this is 3× cheaper than a
+    kernel run per relation (VERDICT r01 'what's wrong' #5).  Callers that
+    consume the views should ``unpersist()`` the returned ``_union`` when
+    done; callers consuming a SINGLE view should pass ``persist=False`` —
+    caching a relation read once is pure overhead, and a handed-off
+    DataFrame outlives the caller's chance to unpersist (ADVICE r02).
     """
 
     def run_union(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -374,7 +379,9 @@ def extract_layout_tables(df: DataFrame, password: str = "") -> dict:
             yield pd.DataFrame(rows, columns=cols)
 
     src = df.select("conv_id", "turn_idx", "text", "tool")
-    union = src.mapInPandas(run_union, schema=LAYOUT_UNION_SCHEMA).persist()
+    union = src.mapInPandas(run_union, schema=LAYOUT_UNION_SCHEMA)
+    if persist:
+        union = union.persist()
     common = ["conv_id", "turn_idx", "page_id"]
     chars = union.filter(F.col("relation") == "char").select(
         *common,
@@ -413,7 +420,11 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
             F.sum("n_pages").alias("n_pages"),
             F.avg("wall_ms").alias("avg_wall_ms"),
-            F.xxhash64(F.concat_ws("|", F.collect_list("conv_id"))).alias(
+            # order-insensitive streaming content fingerprint: O(1) agg
+            # buffer per partition (a collect_list of conv_ids would
+            # materialize millions of ids in one buffer on a fat
+            # partition at 100 TB; same XOR idiom as ops/dedup.py)
+            F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias(
                 "conv_ids_hash"
             ),
         )

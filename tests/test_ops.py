@@ -284,9 +284,12 @@ def test_duplicate_clusters_star_matches_hashmin(spark):
             }
         )
     )
+    # max_iter=30 > chain diameter 25 so hash-min itself converges (at
+    # exactly max_iter it would trip the non-convergence fallback and the
+    # comparison would degenerate to star == star)
     hashmin = {
         (r["doc_id"], r["cluster_id"], r["cluster_size"])
-        for r in duplicate_clusters(pairs).collect()
+        for r in duplicate_clusters(pairs, max_iter=30).collect()
     }
     star = {
         (r["doc_id"], r["cluster_id"], r["cluster_size"])
@@ -295,6 +298,33 @@ def test_duplicate_clusters_star_matches_hashmin(spark):
     assert star == hashmin
     # the chain collapses to one cluster rooted at its min node
     assert (125, 100, 26) in star
+
+
+def test_duplicate_clusters_nonconvergence_fallback(spark):
+    """A component with diameter > max_iter must NOT yield silently-wrong
+    labels (ADVICE r02): hash-min warns and falls back to the star
+    algorithm, which still produces the correct clustering."""
+    import pandas as pd
+    import pytest
+
+    from pdfminer_six_spark.ops.dedup import duplicate_clusters
+
+    chain = [(i, i + 1) for i in range(12)]  # diameter 12 > max_iter 5
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_a": [a for a, _ in chain],
+                "doc_b": [b for _, b in chain],
+                "jaccard": [1.0] * len(chain),
+            }
+        )
+    )
+    with pytest.warns(RuntimeWarning, match="not converged"):
+        out = {
+            (r["doc_id"], r["cluster_id"], r["cluster_size"])
+            for r in duplicate_clusters(pairs, max_iter=5).collect()
+        }
+    assert out == {(i, 0, 13) for i in range(13)}
 
 
 def test_simhash_identical_docs(spark):

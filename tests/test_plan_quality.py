@@ -210,6 +210,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         "ann_topk_cosine",
         "embedding_near_dups",
         "histogram_totals",  # 1-row min/max broadcast cross join
+        "ann_ivf_topk",  # queries × n_clusters centers: both tiny; the
+        # corpus-side probe join is still an equi-join on cell id
     }
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():
@@ -229,12 +231,14 @@ def test_salted_agg_two_exchanges_and_skew_spread(spark):
 
     from pdfminer_six_spark.ops.agg import salted_sum_count
 
+    # hot key rows are FULLY identical (no distinguishing column): the
+    # adversarial case for a content-derived salt, which would put them
+    # all in one bucket — the position-derived salt must still spread
     df = spark.createDataFrame(
         pd.DataFrame(
             {
                 "k": [1] * 5000 + [2, 3],        # one hot key
                 "v": [1.0] * 5000 + [2.0, 3.0],
-                "row": range(5002),
             }
         )
     )
@@ -243,12 +247,17 @@ def test_salted_agg_two_exchanges_and_skew_spread(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     got = {r["k"]: (r["total"], r["n_rows"]) for r in out.collect()}
     assert got == {1: (5000.0, 5000), 2: (2.0, 1), 3: (3.0, 1)}
-    # the hot key's rows really did land in several salt buckets
+    # the hot key's (identical) rows really did land in several buckets
     from pyspark.sql import functions as F
     n_buckets = (
         df.withColumn(
             "_s",
-            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(8)),
+            F.pmod(
+                F.xxhash64(
+                    F.spark_partition_id(), F.monotonically_increasing_id()
+                ),
+                F.lit(8),
+            ),
         )
         .filter(F.col("k") == 1)
         .select("_s")
