@@ -1,0 +1,114 @@
+"""Corpus-cleaning operators a large-scale training-data pipeline needs:
+PII redaction and paragraph-level (CCNet-style) deduplication.
+
+Scale notes (100 TB): redaction is a pure per-row projection — zero
+shuffles, whole-stage codegen end to end.  Paragraph dedup explodes docs
+into paragraphs (row multiplier ~ paragraphs/doc, same class as the
+shingle explosion in ops/dedup.py); the global first-occurrence choice is
+a map-side-combinable min-aggregate per paragraph fingerprint, NOT a
+window over the fingerprint — a window would funnel every copy of a hot
+boilerplate paragraph (billions of rows for "subscribe to our
+newsletter") through one task, while the min-agg reduces them to one row
+per fingerprint before the join back, and the join's residual skew is
+AQE's skew-join case.  Reassembly groups by doc_id: per-task state is one
+document's own paragraphs, which any parser task already holds.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["PII_PATTERNS", "redact_pii", "paragraph_dedup"]
+
+
+# (name, regex, replacement) — patterns restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+# backreferences, \b and non-capturing groups only.
+PII_PATTERNS: Tuple[Tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Sequence[Tuple[str, str, str]] = PII_PATTERNS,
+) -> DataFrame:
+    """Replace PII spans with typed tokens and count them per row.
+
+    Adds ``redacted`` plus one ``n_<name>`` count column per pattern.
+    Counts are taken on the ORIGINAL text (before any replacement) so
+    pattern order cannot hide matches; replacements then apply in the
+    given order (email before ip/phone, so an address is consumed as a
+    whole before its digit runs could partially match anything else).
+    Pure built-in projection: no Python, no shuffle, fully codegen'd.
+    """
+    out = df
+    for name, pat, _repl in patterns:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    red = F.col(text_col)
+    for _name, pat, repl in patterns:
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn("redacted", red)
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-global paragraph dedup: every paragraph survives only at its
+    first occurrence (ordered by (doc_id, position)); later copies — the
+    classic boilerplate paragraphs repeated across millions of pages — are
+    dropped and each doc is reassembled from its surviving paragraphs.
+
+    Returns (id_col, clean_text, n_paras, n_kept); docs whose every
+    paragraph appeared earlier elsewhere come back with clean_text = ''.
+
+    The first-occurrence winner per fingerprint is ``min(struct(doc_id,
+    pos))`` — an algebraic aggregate with map-side partials, deliberately
+    not ``row_number() OVER (PARTITION BY fp)`` (see module docstring for
+    the hot-paragraph skew argument).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("fp", F.xxhash64("para"))
+    firsts = paras.groupBy("fp").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "first"
+        )
+    )
+    kept = (
+        paras.join(firsts, "fp")
+        .filter(
+            (F.col(id_col) == F.col("first.i")) & (F.col("pos") == F.col("first.p"))
+        )
+        .select(id_col, "pos", "para")
+    )
+    clean = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_paras")
+    )
+    return totals.join(clean, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )

@@ -2,10 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata struct.
 The Spark-side machinery — schema, batching, partitioning, Arrow transfer,
-UDF signatures — is real and tested; the actual codec step is STUBBED with
-a deterministic fake (this container ships no image/audio libraries), and
-clearly marked: swap `_decode_stub` for a real decoder (PIL/ffmpeg) in a
-cluster image and nothing else changes.
+UDF signatures — is real and tested; the codec step goes through
+``decode_payload``, which uses a real decoder (PIL, behind an import-try)
+when the library exists and the bytes parse, and otherwise a clearly-marked
+deterministic STUB (this container ships no image/audio libraries).  A
+cluster image that installs PIL gets real pixel decode with zero code
+change; synthetic fake-byte corpora behave identically either way.
 """
 
 from __future__ import annotations
@@ -62,6 +64,38 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
     return np.frombuffer((digest * 8)[:256], dtype=np.uint8).astype(np.float32)
 
 
+def _real_image_decode(payload: bytes):
+    """Decode real image bytes to a grayscale float32 sample array via PIL
+    when the library is installed.  Returns None when PIL is absent OR the
+    bytes are not a decodable image — the deterministic stub then applies,
+    so synthetic corpora (whose payloads are fake bytes) produce identical
+    output with and without codec libs.  The import is inside the function
+    because decode runs worker-side under mapInPandas (imports resolve per
+    Python worker, and must not fail module import on codec-less boxes)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            return np.asarray(img.convert("L"), dtype=np.float32).ravel()
+    except Exception:
+        return None
+
+
+def decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """Codec entry point: the real decoder when one is importable and the
+    bytes parse, else the deterministic stub.  Swap-in point for cluster
+    images that ship PIL/soundfile/pyav — nothing else changes."""
+    if kind == "image":
+        real = _real_image_decode(payload)
+        if real is not None:
+            return real
+    return _decode_stub(payload, kind)
+
+
 def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
     """Decode -> feature-extract as an Arrow-batched mapInPandas.
 
@@ -78,7 +112,7 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             ):
                 data = bytes(payload) if payload is not None else b""
                 try:
-                    samples = _decode_stub(data, kind)
+                    samples = decode_payload(data, kind)
                 except NotImplementedError:
                     out.append((int(media_id), kind, len(data), None, 0))
                     continue

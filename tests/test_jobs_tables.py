@@ -147,3 +147,54 @@ def test_dedup_job_end_to_end(spark, tmp_path):
         else:
             assert row["doc_id"] not in kept
     assert surv.count() == stats["n_survivors"]
+
+
+def test_clean_job_end_to_end(spark, tmp_path):
+    """jobs/clean.py: PII redaction + paragraph dedup over a corpus with
+    injected boilerplate; the boilerplate paragraph survives exactly once
+    corpus-wide and PII tokens replace every address/number."""
+    import importlib.util, os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "jobs_clean",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", "clean.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    boiler = "unsubscribe at any time"
+    src = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                f"doc {i} body mail-me at user{i}@mail.example\n\n{boiler}"
+                for i in range(6)
+            ],
+        }
+    )
+    inp = tmp_path / "clean_in.parquet"
+    src.to_parquet(inp)
+    out = tmp_path / "clean_out"
+    stats_out = tmp_path / "clean_stats"
+    args = job.build_args([
+        "--input", str(inp),
+        "--output", str(out),
+        "--stats-output", str(stats_out),
+    ])
+    stats = job.run(spark, args)
+    assert stats["n_docs"] == 6
+    assert stats["total_n_email"] == 6
+    assert stats["total_n_paras"] == 12
+    assert stats["total_n_kept"] == 7  # 6 bodies + 1 surviving boilerplate
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got[0] == f"doc 0 body mail-me at <EMAIL>\n\n{boiler}"
+    for i in range(1, 6):
+        assert got[i] == f"doc {i} body mail-me at <EMAIL>"
+    st = spark.read.parquet(str(stats_out)).collect()[0]
+    assert st["n_docs"] == 6 and st["total_n_email"] == 6

@@ -570,6 +570,98 @@ def test_media_features_shapes(spark):
     assert a == b
 
 
+def test_redact_pii_tokens_and_counts(spark):
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import redact_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "mail a.b-c@x.io or b@y.co, call 555-123-4567 from 10.0.0.7",
+                    "nothing sensitive here, just 1.2 and 12-34",
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted"] == (
+        "mail <EMAIL> or <EMAIL>, call <PHONE> from <IP>"
+    )
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ip"]) == (2, 1, 1)
+    assert out[2]["redacted"] == out[2]["text"] if "text" in out[2] else True
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0)
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
+    """Shared paragraphs survive only at the globally-first (doc_id, pos);
+    docs reassemble in original order; a doc made entirely of previously
+    seen paragraphs comes back empty (not missing)."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import paragraph_dedup
+
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    f"alpha\n\n{boiler}\n\nbeta",
+                    f"{boiler}\n\ngamma",
+                    f"{boiler}\n\nalpha",  # every para already seen
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["clean_text"] == f"alpha\n\n{boiler}\n\nbeta"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["clean_text"] == "gamma"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_decode_payload_stub_fallback_is_codec_independent():
+    """Fake (non-image) payload bytes must hit the deterministic stub
+    whether or not PIL is installed — synthetic corpora produce identical
+    features on codec-less and codec-equipped boxes."""
+    import numpy as np
+
+    from pdfminer_six_spark.ops.multimodal import _decode_stub, decode_payload
+
+    junk = b"\x00not-an-image" * 20
+    got = decode_payload(junk, "image")
+    assert np.array_equal(got, _decode_stub(junk, "image"))
+    # non-image kinds never consult the codec path
+    assert np.array_equal(
+        decode_payload(junk, "audio"), _decode_stub(junk, "audio")
+    )
+
+
+def test_decode_payload_real_codec_when_available():
+    """With PIL installed, real image bytes decode to actual pixels (the
+    swap-in path); skipped in containers without codec libs."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from pdfminer_six_spark.ops.multimodal import decode_payload
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=200).save(buf, format="PNG")
+    got = decode_payload(buf.getvalue(), "image")
+    assert got.shape == (16,)
+    assert np.all(got == 200.0)
+
+
 def test_media_resize_and_frame_sampling(spark):
     """resize: images get the new dims + deterministically resampled
     payload, non-images pass through untouched; frame sampling explodes

@@ -231,7 +231,7 @@ def test_registry_order_contract():
         "text_tfidf_top_terms", "text_quality", "text_gopher_rules",
         "text_length_quantiles", "ann_topk_cosine", "ann_lsh_topk",
         "ann_ivf_topk", "embedding_near_dups",
-        "embedding_near_dups_blocked",
+        "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
     ]
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
