@@ -206,9 +206,11 @@ def tfidf_top_terms(
         F.explode(tokens_col(normalized_text(F.col(text_col)))).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = terms.distinct().groupBy("term").agg(
-        F.count("*").alias("term_df")
-    )
+    # document frequency from the tf relation, which is already distinct
+    # per (doc_id, term) — not terms.distinct(), which would re-shuffle
+    # every raw term occurrence a second time (interleaved best-of A/B at
+    # sf0.1: 1.59/0.97 s -> 1.23/0.82 s across two rounds, output identical)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("term_df"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
