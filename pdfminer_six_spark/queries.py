@@ -1395,6 +1395,58 @@ FROM documents
 """
 
 
+def q_corpus_mix(spark, sf_dir):
+    """Domain-mixing / source reweighting — the step that hits target
+    per-source proportions in a training corpus (e.g. downsample web,
+    keep all books): a per-source deterministic Bernoulli via md5-prefix
+    threshold, so membership is a pure function of the doc id (no RNG;
+    retry/speculation-safe like deterministic_split).  Source labels are
+    synthesized from doc_id (the synthetic table has no source column);
+    rates: web 0.5, books 1.0, code 0.75, wiki 0.25.  Scan-local
+    projection + one hash agg — no shuffle before the partial aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    src = (
+        F.when(m == 0, "web")
+        .when(m == 1, "books")
+        .when(m == 2, "code")
+        .otherwise("wiki")
+    )
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    # 4-hex-digit keep thresholds: frac*0x10000 ('g000' sorts after every
+    # hex string -> keep-all)
+    thresh = (
+        F.when(m == 0, "8000")
+        .when(m == 1, "g000")
+        .when(m == 2, "c000")
+        .otherwise("4000")
+    )
+    kept = F.when(h4 < thresh, 1).otherwise(0)
+    return (
+        docs.select(src.alias("source"), kept.alias("k"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_total"), F.sum("k").alias("n_kept"))
+    )
+
+
+_SQL_CORPUS_MIX = """
+WITH t AS (
+  SELECT CASE doc_id % 4 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+                         WHEN 2 THEN 'code' ELSE 'wiki' END AS source,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                   CASE doc_id % 4 WHEN 0 THEN '8000' WHEN 1 THEN 'g000'
+                                   WHEN 2 THEN 'c000' ELSE '4000' END
+              THEN 1 ELSE 0 END AS k
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(k) AS BIGINT) AS n_kept
+FROM t
+GROUP BY source
+"""
+
+
 def q_group_sample(spark, sf_dir):
     """Reproducible per-group sampling: k docs per language chosen by
     md5-hash rank — a pure function of the data, so every engine, run,
@@ -2241,4 +2293,5 @@ QUERIES: Dict[str, QuerySpec] = {
     "union_parties": (q_union_parties, _SQL_UNION),
     "stable_row_ids": (q_stable_row_ids, _SQL_STABLE_IDS),
     "histogram_totals": (q_histogram, _SQL_HISTOGRAM),
+    "corpus_mix": (q_corpus_mix, _SQL_CORPUS_MIX),
 }
