@@ -41,18 +41,20 @@ def redact_pii(
     """Replace PII spans with typed tokens and count them per row.
 
     Adds ``redacted`` plus one ``n_<name>`` count column per pattern.
+    NULL text is treated as the empty string (counts 0, redacted ''), so
+    a corpus with missing payloads never propagates nulls into the
+    cleaning stats.
     Counts are taken on the ORIGINAL text (before any replacement) so
     pattern order cannot hide matches; replacements then apply in the
     given order (email before ip/phone, so an address is consumed as a
     whole before its digit runs could partially match anything else).
     Pure built-in projection: no Python, no shuffle, fully codegen'd.
     """
+    text = F.coalesce(F.col(text_col), F.lit(""))
     out = df
     for name, pat, _repl in patterns:
-        out = out.withColumn(
-            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
-        )
-    red = F.col(text_col)
+        out = out.withColumn(f"n_{name}", F.regexp_count(text, F.lit(pat)))
+    red = text
     for _name, pat, repl in patterns:
         red = F.regexp_replace(red, pat, repl)
     return out.withColumn("redacted", red)
@@ -77,9 +79,10 @@ def paragraph_dedup(
     not ``row_number() OVER (PARTITION BY fp)`` (see module docstring for
     the hot-paragraph skew argument).
     """
+    text = F.coalesce(F.col(text_col), F.lit(""))  # null-safe like redact_pii
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        F.posexplode(F.split(text, sep)).alias("pos", "para"),
     ).withColumn("fp", F.xxhash64("para"))
     firsts = paras.groupBy("fp").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
@@ -104,7 +107,7 @@ def paragraph_dedup(
         F.count("*").alias("n_kept"),
     )
     totals = df.select(
-        F.col(id_col), F.size(F.split(F.col(text_col), sep)).alias("n_paras")
+        F.col(id_col), F.size(F.split(text, sep)).alias("n_paras")
     )
     return totals.join(clean, id_col, "left").select(
         id_col,

@@ -595,6 +595,23 @@ def test_redact_pii_tokens_and_counts(spark):
     assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ip"]) == (0, 0, 0)
 
 
+def test_clean_ops_null_text_is_empty(spark):
+    """NULL payloads act as empty strings: no null counts, no null
+    reassembled text — a corpus with missing docs cleans without
+    propagating nulls into downstream stats."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import paragraph_dedup, redact_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["x@y.io", None]})
+    )
+    r = {x["doc_id"]: x for x in redact_pii(df).collect()}
+    assert (r[2]["redacted"], r[2]["n_email"]) == ("", 0)
+    p = {x["doc_id"]: x for x in paragraph_dedup(df).collect()}
+    assert (p[2]["clean_text"], p[2]["n_paras"], p[2]["n_kept"]) == ("", 1, 1)
+
+
 def test_paragraph_dedup_first_occurrence_and_reassembly(spark):
     """Shared paragraphs survive only at the globally-first (doc_id, pos);
     docs reassemble in original order; a doc made entirely of previously
