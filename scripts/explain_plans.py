@@ -35,6 +35,9 @@ def main() -> None:
         "window_range_frame",
         "exists_subqueries",
         "ann_topk_cosine",
+        "pii_redact",
+        "paragraph_dedup",
+        "corpus_mix",
     ]
     for name in names:
         fn, _ = QUERIES[name]
