@@ -82,6 +82,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--images", action="store_true",
                     help="input is a directory of PDFs (binaryFile scan); "
                          "emit one metadata+sha256 row per embedded image")
+    ap.add_argument("--dedup-payloads", action="store_true",
+                    help="parse each distinct (tool, text) payload once and "
+                         "join results back to every referencing turn — wins "
+                         "by the attachment repetition factor on corpora that "
+                         "share payloads, costs two shuffles on ones that "
+                         "don't")
     return ap
 
 
@@ -98,6 +104,7 @@ def main() -> None:
 def run(spark, args, ap=None) -> None:
     from pdfminer_six_spark.spark.pipeline import (
         extract_transcripts,
+        extract_transcripts_dedup,
         lineage_metrics,
         resume_filter,
     )
@@ -139,7 +146,10 @@ def run(spark, args, ap=None) -> None:
             if ("PATH_NOT_FOUND" not in str(e)
                     and "TABLE_OR_VIEW_NOT_FOUND" not in str(e)):
                 raise
-    extracted = extract_transcripts(
+    extract_fn = (
+        extract_transcripts_dedup if args.dedup_payloads else extract_transcripts
+    )
+    extracted = extract_fn(
         transcripts,
         password=args.password,
         rebalance_partitions=args.rebalance,

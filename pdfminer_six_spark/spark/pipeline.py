@@ -240,6 +240,64 @@ def extract_transcripts(
     return out
 
 
+def extract_transcripts_dedup(
+    df: DataFrame,
+    password: str = "",
+    rebalance_partitions: Optional[int] = None,
+    sort_output: bool = False,
+) -> DataFrame:
+    """Extraction with payload-level dedup: each DISTINCT (tool, text)
+    payload runs through the kernel once; results join back to every
+    referencing turn.  Transcript corpora repeat attachments heavily (the
+    same PDF pasted into thousands of conversations), so kernel cost
+    divides by the repetition factor for the price of two shuffles (the
+    payload distinct + the fingerprint join-back) — at 10^12 turns with
+    shared attachments this is the dominant optimization.  Opt-in
+    (jobs/extract.py --dedup-payloads) because on a distinct-payload
+    corpus the shuffles buy nothing.
+
+    Extraction is a pure function of (tool, text, password), so the
+    joined-back rows are exactly what per-turn extraction would produce;
+    ``wall_ms`` is the per-distinct-payload kernel cost (not re-scaled
+    per turn).  Payload identity is xxhash64(tool, text) — a collision
+    (2^-64 per pair) would silently share one extraction between two
+    payloads.
+    """
+    fp = F.xxhash64(
+        F.coalesce(F.col("tool"), F.lit("")),
+        F.coalesce(F.col("_raw"), F.lit("")),
+    ).cast("string")
+    keyed = df.select(
+        "conv_id", "turn_idx", F.col("text").alias("_raw"), "tool"
+    ).withColumn("_fp", fp)
+    # one row per distinct payload; the fingerprint rides in conv_id so
+    # the unmodified kernel passes it through to the join key
+    payloads = (
+        keyed.select(
+            F.col("_fp").alias("conv_id"),
+            F.lit(0).cast("int").alias("turn_idx"),
+            F.col("_raw").alias("text"),
+            "tool",
+        )
+        .dropDuplicates(["conv_id"])
+    )
+    per_payload = extract_transcripts(
+        payloads, password=password, rebalance_partitions=rebalance_partitions
+    ).select(
+        F.col("conv_id").alias("_fp"),
+        "text", "n_pages", "n_chars", "status", "error", "wall_ms", "spans",
+    )
+    out = keyed.join(per_payload, "_fp").select(
+        "conv_id", "turn_idx", "text", "n_pages", "n_chars", "status",
+        "error", "wall_ms", "spans",
+    )
+    if sort_output:
+        out = out.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
+            "conv_id", "turn_idx"
+        )
+    return out
+
+
 LAYOUT_UNION_SCHEMA = StructType(
     [
         StructField("relation", StringType()),  # char | line | box

@@ -184,6 +184,35 @@ def test_char_spans_tile_text(spark, transcripts_pdf):
     assert checked > 0
 
 
+def test_dedup_payload_extraction_equals_per_turn(spark):
+    """--dedup-payloads semantics: parsing each distinct (tool, text) once
+    and joining back must be EXACTLY per-turn extraction (extraction is a
+    pure function of the payload).  Exercised on a corpus with repeated
+    attachments — the case the flag exists for."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.spark.pipeline import (
+        extract_transcripts,
+        extract_transcripts_dedup,
+    )
+
+    p = transcripts_pandas(n_convs=15)
+    p["ts"] = p["ts"].astype("datetime64[us]")
+    q = p.copy()
+    q["conv_id"] = q["conv_id"] + "_copy"  # every payload shared twice
+    df = spark.createDataFrame(pd.concat([p, q], ignore_index=True))
+    cols = ["conv_id", "turn_idx", "text", "n_pages", "n_chars", "status",
+            "error", "spans"]
+    a = extract_transcripts(df).withColumn("spans", F.to_json("spans"))
+    b = extract_transcripts_dedup(df).withColumn("spans", F.to_json("spans"))
+    a, b = a.select(cols), b.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert b.count() == df.count()
+
+
 def test_driver_entry_surface(spark):
     """__spark_entry__ contract: entry() returns a non-empty DataFrame
     with a stable schema; every queries() key resolves to a callable;
