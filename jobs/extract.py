@@ -146,8 +146,12 @@ def run(spark, args, ap=None) -> None:
             if ("PATH_NOT_FOUND" not in str(e)
                     and "TABLE_OR_VIEW_NOT_FOUND" not in str(e)):
                 raise
+    # getattr: run() is also driven with hand-built Namespaces (tests,
+    # embedding callers) that may predate the flag
     extract_fn = (
-        extract_transcripts_dedup if args.dedup_payloads else extract_transcripts
+        extract_transcripts_dedup
+        if getattr(args, "dedup_payloads", False)
+        else extract_transcripts
     )
     extracted = extract_fn(
         transcripts,
