@@ -65,7 +65,12 @@ def run(spark, args) -> dict:
     ]
     stats = written.agg(
         F.count("*").alias("n_docs"),
-        *[F.sum(c).alias(f"total_{c}") for c in stats_cols],
+        # coalesce: SUM over zero rows is NULL, and int(None) below would
+        # fail the job AFTER a successful write on an empty corpus
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).alias(f"total_{c}")
+            for c in stats_cols
+        ],
     )
     if args.stats_output:
         stats.write.mode("overwrite").parquet(args.stats_output)

@@ -33,7 +33,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_args(argv=None):
     p = argparse.ArgumentParser(description="corpus near-dup removal")
-    p.add_argument("--input", required=True)
+    p.add_argument("--input", required=True,
+                   help="documents parquet (doc_id, text, ...); doc_id "
+                        "must be unique — the shingle stage dedups "
+                        "within each row, not across repeated doc_ids")
     p.add_argument("--output", required=True)
     p.add_argument("--pairs-output", default=None)
     p.add_argument("--clusters-output", default=None)

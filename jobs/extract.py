@@ -109,6 +109,15 @@ def run(spark, args, ap=None) -> None:
         resume_filter,
     )
 
+    dedup_payloads = getattr(args, "dedup_payloads", False)
+    if dedup_payloads and (args.images or args.streaming):
+        # fail loudly instead of silently running the per-turn path — a
+        # user counting on the payload-dedup win must know it didn't apply
+        (ap.error if ap else _raise_usage)(
+            "--dedup-payloads applies only to the batch transcript path "
+            "(not --images/--streaming)"
+        )
+
     if args.images:
         from pdfminer_six_spark.spark.sources import (
             extract_images_corpus,
@@ -146,13 +155,9 @@ def run(spark, args, ap=None) -> None:
             if ("PATH_NOT_FOUND" not in str(e)
                     and "TABLE_OR_VIEW_NOT_FOUND" not in str(e)):
                 raise
-    # getattr: run() is also driven with hand-built Namespaces (tests,
-    # embedding callers) that may predate the flag
-    extract_fn = (
-        extract_transcripts_dedup
-        if getattr(args, "dedup_payloads", False)
-        else extract_transcripts
-    )
+    # getattr above: run() is also driven with hand-built Namespaces
+    # (tests, embedding callers) that may predate the flag
+    extract_fn = extract_transcripts_dedup if dedup_payloads else extract_transcripts
     extracted = extract_fn(
         transcripts,
         password=args.password,

@@ -79,10 +79,17 @@ def paragraph_dedup(
     not ``row_number() OVER (PARTITION BY fp)`` (see module docstring for
     the hot-paragraph skew argument).
     """
+    import re
+
+    # sep is a LITERAL separator (jobs/clean.py --para-sep), but F.split
+    # takes a Java regex — escape it so e.g. '||' or '(' can't explode
+    # the text at every character or throw a pattern error.  re.escape
+    # (3.7+) escapes only regex-special ASCII, all of which Java accepts.
+    sep_re = re.escape(sep)
     text = F.coalesce(F.col(text_col), F.lit(""))  # null-safe like redact_pii
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(text, sep)).alias("pos", "para"),
+        F.posexplode(F.split(text, sep_re)).alias("pos", "para"),
     ).withColumn("fp", F.xxhash64("para"))
     firsts = paras.groupBy("fp").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
@@ -107,7 +114,7 @@ def paragraph_dedup(
         F.count("*").alias("n_kept"),
     )
     totals = df.select(
-        F.col(id_col), F.size(F.split(text, sep)).alias("n_paras")
+        F.col(id_col), F.size(F.split(text, sep_re)).alias("n_paras")
     )
     return totals.join(clean, id_col, "left").select(
         id_col,

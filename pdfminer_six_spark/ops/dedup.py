@@ -42,20 +42,31 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    assume_unique_ids: bool = True,
+) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams of the normalized text.
     Pure built-ins: split -> transform(sequence) -> array_distinct ->
     explode.
 
     The per-doc dedup happens INSIDE the row (``array_distinct`` before
-    the explode), not as ``.distinct()`` on the exploded relation: the
-    input is one row per doc_id, so both are the same set, but the
-    post-explode distinct is a full shuffle of every shingle string AND a
-    shuffle boundary that blocks downstream aggregations' map-side
-    partials (minhash partials then ride the doc_id shuffle as 16 longs
-    per doc instead of all shingle strings).  Interleaved best-of A/B at
-    sf0.1: minhash_near_duplicates 5.69 -> 4.87 s, jaccard_pairs(max_df)
-    8.13 -> 5.24 s, byte-identical output on both."""
+    the explode), not as ``.distinct()`` on the exploded relation: with
+    one row per doc_id both are the same set, but the post-explode
+    distinct is a full shuffle of every shingle string AND a shuffle
+    boundary that blocks downstream aggregations' map-side partials
+    (minhash partials then ride the doc_id shuffle as 16 longs per doc
+    instead of all shingle strings).  Interleaved best-of A/B at sf0.1:
+    minhash_near_duplicates 5.69 -> 4.87 s, jaccard_pairs(max_df)
+    8.13 -> 5.24 s, byte-identical output on both.
+
+    ``assume_unique_ids`` is the contract that makes the no-shuffle form
+    valid: one row per doc_id (true for the documents table and for any
+    sane corpus — jobs/dedup.py states it as an input requirement).
+    Pass False for relations where a doc_id can repeat; that reinstates
+    the exploded-relation distinct at full shuffle cost."""
     toks = tokens_col(normalized_text(F.col(text_col)))
     grams = F.when(
         F.size(toks) >= n,
@@ -64,10 +75,13 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return (
+    out = (
         df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
         .filter(F.col("shingle") != "")
     )
+    if not assume_unique_ids:
+        out = out.distinct()
+    return out
 
 
 def jaccard_pairs(

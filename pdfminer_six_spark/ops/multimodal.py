@@ -120,6 +120,12 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                 if kind == "video":
                     samples = samples[::4]  # frame sampling stub
                     frames = 4
+                if samples.size < feature_dim:
+                    # real decoders can return fewer samples than
+                    # feature_dim (a 1x1 tracking pixel via PIL): tile
+                    # deterministically so no array_split chunk is empty
+                    # (an empty chunk's mean() is NaN)
+                    samples = np.resize(samples, feature_dim)
                 chunks = np.array_split(
                     samples.astype(np.float64), feature_dim
                 )

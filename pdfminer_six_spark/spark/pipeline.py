@@ -481,10 +481,16 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
             # order-insensitive streaming content fingerprint: O(1) agg
             # buffer per partition (a collect_list of conv_ids would
             # materialize millions of ids in one buffer on a fat
-            # partition at 100 TB; same XOR idiom as ops/dedup.py)
-            F.bit_xor(F.xxhash64("conv_id", "turn_idx")).alias(
-                "conv_ids_hash"
-            ),
+            # partition at 100 TB).  SUM of a bounded hash rather than
+            # bit_xor: XOR is blind to even-multiplicity duplicates
+            # (a row duplicated twice cancels out — exactly the
+            # corruption class lineage exists to catch), while the sum
+            # shifts with every extra copy.  The pmod bound keeps the
+            # ANSI-mode LongType sum overflow-free to ~8e12 rows per
+            # partition (2^20 x 2^43 < 2^63).
+            F.sum(
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(1 << 20))
+            ).alias("conv_ids_hash"),
         )
     )
 

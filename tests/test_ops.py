@@ -679,6 +679,21 @@ def test_decode_payload_real_codec_when_available():
     assert np.all(got == 200.0)
 
 
+def test_media_features_finite_when_samples_shorter_than_dim(spark):
+    """A decoder returning fewer samples than feature_dim (a 1x1 tracking
+    pixel through a real codec) must not emit NaN features — short sample
+    arrays are tiled before chunking.  Driven codec-free by asking for
+    more feature dims than the stub's 256 samples."""
+    import math
+
+    from pdfminer_six_spark.ops.multimodal import extract_features, synth_media
+
+    out = extract_features(synth_media(spark, 8), feature_dim=300).toPandas()
+    feats = out[out.feature.notna()].feature
+    assert len(feats) > 0
+    assert all(math.isfinite(v) for vec in feats for v in vec)
+
+
 def test_media_resize_and_frame_sampling(spark):
     """resize: images get the new dims + deterministically resampled
     payload, non-images pass through untouched; frame sampling explodes

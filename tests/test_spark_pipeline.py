@@ -261,6 +261,7 @@ def test_registry_order_contract():
         "text_length_quantiles", "ann_topk_cosine", "ann_lsh_topk",
         "ann_ivf_topk", "embedding_near_dups",
         "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
+        "corpus_mix",
     ]
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
