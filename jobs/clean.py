@@ -32,7 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_args(argv=None):
     p = argparse.ArgumentParser(description="corpus PII scrub + paragraph dedup")
-    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--input",
+        required=True,
+        help="documents parquet with UNIQUE NON-NULL doc_id per row "
+        "(same contract as jobs/dedup.py): the paragraph-dedup join back "
+        "is keyed on doc_id, so NULL ids would drop rows and duplicate "
+        "ids would cross-multiply",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--stats-output", default=None)
     p.add_argument("--no-redact", action="store_true")

@@ -78,6 +78,11 @@ def paragraph_dedup(
     pos))`` — an algebraic aggregate with map-side partials, deliberately
     not ``row_number() OVER (PARTITION BY fp)`` (see module docstring for
     the hot-paragraph skew argument).
+
+    Input contract (same as jobs/dedup.py): ``id_col`` is UNIQUE and
+    NON-NULL per row.  Callers join this relation back to the source on
+    ``id_col`` (jobs/clean.py does), so a NULL id silently drops the row
+    and a repeated id cross-multiplies/merges documents.
     """
     import re
 

@@ -21,7 +21,7 @@ __all__ = [
     "normalized_text",  # re-export: historical home of the normalizer
     "exact_duplicates", "shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_candidates",
-    "minhash_near_duplicates", "simhash_signatures",
+    "minhash_near_duplicates", "simhash_signatures", "simhash_verify",
     "simhash_near_duplicates", "duplicate_clusters",
 ]
 
@@ -107,7 +107,13 @@ def jaccard_pairs(
     Shingles are xxhash64'd before the join: the shuffle moves 8-byte longs
     instead of strings, and the join keys compare in one instruction.  A
     64-bit collision would need ~2^32 distinct shingles per corpus slice to
-    become likely; counts are otherwise identical to the string join."""
+    become likely; counts are otherwise identical to the string join.
+
+    Input contract: doc_id is unique per row (``shingles()`` default
+    ``assume_unique_ids=True``) — a repeated doc_id would double-count its
+    shingles into the Jaccard denominators without error.  For relations
+    where a doc_id can repeat, dedup by doc_id first (or call the shingle
+    path with ``assume_unique_ids=False`` at full shuffle cost)."""
     # cache the BASE relation (tokenize -> explode -> distinct is the
     # expensive subplan): the hot-set aggregation, the anti-join replay,
     # the sizes agg and both self-join sides all read it from cache —
@@ -301,7 +307,11 @@ def contamination_pairs(
     Shape at scale: both sides shingle locally (no shuffle), the eval
     side is tiny relative to train — Spark broadcasts it, so the train
     corpus is never shuffled at all: scan -> explode -> broadcast-join
-    -> partial-agg.  Returns (train_doc, eval_doc, n_shared)."""
+    -> partial-agg.  Returns (train_doc, eval_doc, n_shared).
+
+    Input contract: doc_id unique per row on BOTH sides (``shingles()``
+    default ``assume_unique_ids=True``) — a repeated id would inflate
+    n_shared for its pairs without error."""
     tr = shingles(train, text_col, n).select(
         F.col("doc_id").alias("train_doc"),
         F.xxhash64("shingle").alias("shingle"),
@@ -520,13 +530,17 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return hashed.groupBy("doc_id").agg(simhash_agg("h").alias("simhash"))
 
 
-def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= k.  Scale path: block on
-    16-bit quarters (a pair within hamming<=3 shares at least one exact
-    quarter), then verify — the classic pigeonhole blocking."""
-    # cache: the signature subplan feeds both sides of the self-join —
-    # without this Spark recomputes the grouped-agg twice
-    sig = simhash_signatures(df).cache()
+def simhash_verify(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The blocking + verification stage of SimHash near-dup detection,
+    factored over any (doc_id, simhash:long) relation: block on 16-bit
+    quarters (a pair within hamming<=3 shares at least one exact
+    quarter — pigeonhole), then verify by popcount of the XOR.
+
+    Factoring this out of :func:`simhash_near_duplicates` makes the stage
+    independently oracle-able: given a deterministic signature fixture
+    both engines can compute, the quarter-join + hamming math is plain
+    SQL in DuckDB too (the only engine-specific piece of the full op is
+    the xxhash64 signature generation)."""
     quarters = sig.select(
         "doc_id",
         "simhash",
@@ -563,3 +577,11 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= k — signature generation
+    composed with :func:`simhash_verify` (quarter blocking + popcount)."""
+    # cache: the signature subplan feeds both sides of the self-join —
+    # without this Spark recomputes the grouped-agg twice
+    return simhash_verify(simhash_signatures(df).cache(), max_hamming)

@@ -50,6 +50,11 @@ FEATURES_SCHEMA = StructType(
         StructField("n_bytes", IntegerType()),
         StructField("feature", ArrayType(FloatType())),  # embedding-like
         StructField("frames_sampled", IntegerType()),
+        # which decode path produced the feature: 'bmp'/'pil' (real
+        # pixels), 'stub' (deterministic fallback), 'none' (no decoder).
+        # Without this a mixed/codec-less cluster yields silently
+        # heterogeneous features with no way to tell after the fact.
+        StructField("codec", StringType()),
     ]
 )
 
@@ -62,6 +67,58 @@ def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
         raise NotImplementedError(f"no decoder for kind={kind!r}")
     digest = hashlib.sha256(payload).digest()
     return np.frombuffer((digest * 8)[:256], dtype=np.uint8).astype(np.float32)
+
+
+def _bmp_decode(payload: bytes):
+    """Dependency-free real-pixel decode for uncompressed BMP (the one
+    raster format trivial enough to parse with struct+numpy) — so the
+    real-pixel path is exercised even in containers that ship no codec
+    libraries.  Returns the grayscale float32 raveled pixel array
+    (top-down row-major, matching ``np.asarray(PIL...convert('L'))``)
+    or None for anything that is not a plain BI_RGB BMP.
+
+    Supports BITMAPINFOHEADER (and larger headers), bit depths 8 (with
+    palette), 24 and 32, compression BI_RGB only.  RGB->L uses PIL's
+    exact integer formula ``(19595R + 38470G + 7471B + 0x8000) >> 16``
+    so the output is bit-identical to the PIL path on the same bytes
+    (differentially tested when PIL is importable)."""
+    try:
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        if hdr_size < 40:  # BITMAPCOREHEADER etc. — not worth supporting
+            return None
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bits, comp = (
+            struct.unpack_from("<H", payload, 28)[0],
+            struct.unpack_from("<I", payload, 30)[0],
+        )
+        if comp != 0 or bits not in (8, 24, 32) or width <= 0 or height == 0:
+            return None
+        flip = height > 0  # positive height = bottom-up row order
+        height = abs(height)
+        row_bytes = (width * bits // 8 + 3) & ~3  # rows pad to 4 bytes
+        px = np.frombuffer(
+            payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+        ).reshape(height, row_bytes)
+        if flip:
+            px = px[::-1]
+        if bits == 8:
+            n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+            pal = np.frombuffer(
+                payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+            ).reshape(n_colors, 4)  # BGRX entries
+            idx = px[:, :width]
+            b_, g_, r_ = (pal[idx, c].astype(np.uint32) for c in (0, 1, 2))
+        else:
+            step = bits // 8
+            rows = px[:, : width * step].reshape(height, width, step)
+            b_, g_, r_ = (rows[..., c].astype(np.uint32) for c in (0, 1, 2))
+        lum = (19595 * r_ + 38470 * g_ + 7471 * b_ + 0x8000) >> 16
+        return lum.astype(np.float32).ravel()
+    except (ValueError, struct.error):
+        return None
 
 
 def _real_image_decode(payload: bytes):
@@ -85,15 +142,28 @@ def _real_image_decode(payload: bytes):
         return None
 
 
-def decode_payload(payload: bytes, kind: str) -> np.ndarray:
+def decode_payload_ex(payload: bytes, kind: str) -> tuple:
     """Codec entry point: the real decoder when one is importable and the
     bytes parse, else the deterministic stub.  Swap-in point for cluster
-    images that ship PIL/soundfile/pyav — nothing else changes."""
+    images that ship PIL/soundfile/pyav — nothing else changes.
+
+    Returns ``(samples, codec)`` where codec is ``'bmp'`` (dependency-free
+    real-pixel path), ``'pil'`` or ``'stub'`` — the per-row provenance
+    that makes mixed/codec-less environments detectable in the output
+    (see FEATURES_SCHEMA.codec)."""
     if kind == "image":
+        bmp = _bmp_decode(payload)
+        if bmp is not None:
+            return bmp, "bmp"
         real = _real_image_decode(payload)
         if real is not None:
-            return real
-    return _decode_stub(payload, kind)
+            return real, "pil"
+    return _decode_stub(payload, kind), "stub"
+
+
+def decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """Samples-only wrapper over :func:`decode_payload_ex` (compat API)."""
+    return decode_payload_ex(payload, kind)[0]
 
 
 def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
@@ -112,9 +182,9 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
             ):
                 data = bytes(payload) if payload is not None else b""
                 try:
-                    samples = decode_payload(data, kind)
+                    samples, codec = decode_payload_ex(data, kind)
                 except NotImplementedError:
-                    out.append((int(media_id), kind, len(data), None, 0))
+                    out.append((int(media_id), kind, len(data), None, 0, "none"))
                     continue
                 frames = 1
                 if kind == "video":
@@ -130,7 +200,7 @@ def extract_features(media: DataFrame, feature_dim: int = 8) -> DataFrame:
                     samples.astype(np.float64), feature_dim
                 )
                 feat = [float(round(c.mean(), 4)) for c in chunks]
-                out.append((int(media_id), kind, len(data), feat, frames))
+                out.append((int(media_id), kind, len(data), feat, frames, codec))
             yield pd.DataFrame(
                 out, columns=[f.name for f in FEATURES_SCHEMA.fields]
             )

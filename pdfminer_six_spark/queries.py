@@ -1366,6 +1366,82 @@ def q_simhash_near_dups(spark, sf_dir):
     )
 
 
+# Deterministic signature fixture for oracle-checking the SimHash VERIFY
+# stage (quarter blocking + hamming): the only engine-specific piece of the
+# full op is the xxhash64 signature generation, so both engines derive the
+# SAME (doc_id, simhash) relation arithmetically from the documents table —
+# clusters of 4 consecutive doc_ids share a base signature (four 16-bit
+# quarters spread injectively by odd multipliers mod 2^16; the top quarter
+# stays below 2^15 so the signature fits a signed BIGINT), then up to two
+# low-quarter bits are flipped per doc, giving within-cluster hammings of
+# 0..4 that straddle the <=3 threshold.  Flips touch only quarters 0/1, so
+# quarters 2/3 stay exact within a cluster and the pigeonhole blocking has
+# recall 1 on this fixture by construction.
+_SIMHASH_FIXTURE_EXPR = """
+    CAST(
+      shiftleft(CAST(((doc_id DIV 4) * 31357) % 32768 AS BIGINT), 48)
+      + shiftleft(CAST(((doc_id DIV 4) * 52711) % 65536 AS BIGINT), 32)
+      + shiftleft(CAST(((doc_id DIV 4) * 12289) % 65536 AS BIGINT), 16)
+      + CAST(((doc_id DIV 4) * 40503) % 65536 AS BIGINT)
+    AS BIGINT)
+    ^ (CASE WHEN doc_id % 3 = 0
+            THEN shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 13 AS INT))
+            ELSE CAST(0 AS BIGINT) END)
+    ^ (CASE WHEN doc_id % 5 = 0
+            THEN shiftleft(CAST(1 AS BIGINT), CAST(16 + doc_id % 13 AS INT))
+            ELSE CAST(0 AS BIGINT) END)
+"""
+
+
+def q_simhash_verify(spark, sf_dir):
+    """Hard oracle signal for the simhash VERIFY stage (the r03 judge's
+    top ask): quarter-blocking + popcount over a deterministic signature
+    fixture both engines compute from ``documents`` — DuckDB expresses
+    the identical blocking + hamming in SQL (bit ops), so the stage gets
+    a full rows+schema+hash driver row instead of rows-only."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", F.expr(_SIMHASH_FIXTURE_EXPR).alias("simhash")
+    )
+    return dedup.simhash_verify(sig, max_hamming=3)
+
+
+_SQL_SIMHASH_VERIFY = """
+WITH sig AS (
+  SELECT doc_id,
+         xor(
+           xor(
+             ( (CAST(((doc_id // 4) * 31357) % 32768 AS BIGINT) << 48)
+             + (CAST(((doc_id // 4) * 52711) % 65536 AS BIGINT) << 32)
+             + (CAST(((doc_id // 4) * 12289) % 65536 AS BIGINT) << 16)
+             +  CAST(((doc_id // 4) * 40503) % 65536 AS BIGINT) ),
+             CASE WHEN doc_id % 3 = 0
+                  THEN (CAST(1 AS BIGINT) << CAST(doc_id % 13 AS INTEGER))
+                  ELSE 0 END
+           ),
+           CASE WHEN doc_id % 5 = 0
+                THEN (CAST(1 AS BIGINT) << CAST(16 + doc_id % 13 AS INTEGER))
+                ELSE 0 END
+         ) AS simhash
+  FROM documents
+),
+quarters AS (
+  SELECT doc_id, simhash, q, (simhash >> (q * 16)) & 65535 AS qv
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS q) qs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM quarters a JOIN quarters b ON a.q = b.q AND a.qv = b.qv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
 def q_deterministic_split(spark, sf_dir):
     """Reproducible corpus split — the sampling shape a training pipeline
     actually needs: membership is a pure function of the doc id (md5
@@ -1903,6 +1979,45 @@ def q_ann_lsh(spark, sf_dir):
     return ann.lsh_topk(emb, queries, k=5)
 
 
+def q_ann_lsh_verify(spark, sf_dir):
+    """Hard oracle signal for the LSH-ANN VERIFY stage: candidate
+    generation by bucket equi-join + exact cosine verification, over a
+    deterministic bucket fixture (vec_id % 64) both engines compute —
+    the only engine-specific piece of the production ``lsh_topk`` is the
+    hyperplane signature itself.  Same double-before-arithmetic cosine
+    discipline as every other oracled embedding query."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.pmod(F.col("vec_id"), F.lit(64))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(ann.cosine_expr(F.col("ea"), F.col("eb")), 5).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+    )
+
+
+_SQL_ANN_LSH_VERIFY = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5) AS cos
+FROM embeddings a JOIN embeddings b
+  ON (a.vec_id % 64) = (b.vec_id % 64) AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 5) >= 0.2
+"""
+
+
 def q_embedding_pairs(spark, sf_dir):
     return ann.embedding_near_duplicates(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
@@ -2219,6 +2334,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": (q_jaccard_pairs, _sql_jaccard(_JACCARD_MAX_DF)),
     "dedup_minhash_lsh": (q_minhash_lsh, _sql_jaccard(None)),  # must equal exact
     "dedup_simhash": (q_simhash_near_dups, None),
+    "dedup_simhash_verify": (q_simhash_verify, _SQL_SIMHASH_VERIFY),
     "dedup_clusters": (q_dup_clusters, _SQL_DUP_CLUSTERS),
     "dedup_clusters_star": (q_dup_clusters_star, _SQL_DUP_CLUSTERS),
     "dedup_decontaminate": (q_decontaminate, _SQL_DECONTAMINATE),
@@ -2242,37 +2358,49 @@ QUERIES: Dict[str, QuerySpec] = {
     # ---- driver window: similarity search ----
     "ann_topk_cosine": (q_ann_topk, _SQL_ANN_TOPK),
     "ann_lsh_topk": (q_ann_lsh, None),
+    "ann_lsh_verify": (q_ann_lsh_verify, _SQL_ANN_LSH_VERIFY),
     "ann_ivf_topk": (q_ann_ivf, None),
     "embedding_near_dups": (q_embedding_pairs, _SQL_EMB_PAIRS),
     "embedding_near_dups_blocked": (q_embedding_pairs_blocked, _SQL_EMB_PAIRS),
-    # ---- driver window: relational representatives (1 per category) ----
+    # ---- driver window: relational representatives + ROTATION POOL ----
+    # The driver oracles only the first 50 entries (dict order), so the
+    # interchangeable SQL-battery demos past the window age a round each
+    # cycle.  The 15 slots below the 35 first-class entries are split:
+    # 7 pinned category representatives + 8 rotating slots that cycle
+    # stale tail queries back through the driver each round (r04 pool:
+    # the 8 below; r05 should swap them for the next-stalest tail
+    # entries — every tail query stays <= ~3 rounds without a fresh
+    # driver row).
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
-    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
     "join_revenue_by_nation": (q_join_revenue_by_nation, _SQL_JOIN_REVENUE),
-    "broadcast_join_brand": (q_broadcast_join_brand, _SQL_BROADCAST_BRAND),
-    "semi_join_urgent": (q_semi_join, _SQL_SEMI),
-    "anti_join_no_orders": (q_anti_join, _SQL_ANTI),
-    "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
-    "sessionize_events": (q_sessionize_events, _SQL_SESSIONIZE),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
-    "rollup_orders": (q_rollup_orders, _SQL_ROLLUP),
-    "pivot_segments": (q_pivot_segments, _SQL_PIVOT),
-    "window_topn_per_customer": (q_window_topn_per_customer, _SQL_WINDOW_TOPN),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
-    "set_ops_bag": (q_set_ops_bag, _SQL_SET_OPS_BAG),
     "recursive_date_spine": (q_recursive_date_spine, _SQL_RECURSIVE_SPINE),
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),
-    # ---- past the driver window (index >= 50): interchangeable demos,
-    # categories already driver-green via the representatives above ----
+    # rotating slots (r04): last driver-green in r02, stalest first
     "stats_agg": (q_stats_agg, _SQL_STATS_AGG),
     "not_in_null_trap": (q_not_in_null_trap, _SQL_NOT_IN),
     "topk_orders": (q_topk_orders, _SQL_TOPK),
     "cube_orders": (q_cube_orders, _SQL_CUBE),
     "grouping_sets_orders": (q_grouping_sets, _SQL_GROUPING_SETS),
-    "set_ops_brands": (q_set_ops, _SQL_SET_OPS),
     "lateral_topn_per_region": (q_lateral_topn, _SQL_LATERAL),
     "unpivot_token_stats": (q_unpivot_token_stats, _SQL_UNPIVOT),
+    "string_agg_nations": (q_string_agg, _SQL_STRING_AGG),
+    # ---- past the driver window (index >= 50): interchangeable demos,
+    # categories already driver-green via the representatives above or in
+    # a recent round (r03 reps rotated out below were all green in r03)
+    "filter_project": (q_filter_project, _SQL_FILTER_PROJECT),
+    "broadcast_join_brand": (q_broadcast_join_brand, _SQL_BROADCAST_BRAND),
+    "semi_join_urgent": (q_semi_join, _SQL_SEMI),
+    "anti_join_no_orders": (q_anti_join, _SQL_ANTI),
+    "range_join_bands": (q_range_join_bands, _SQL_RANGE_JOIN),
+    "sessionize_events": (q_sessionize_events, _SQL_SESSIONIZE),
+    "rollup_orders": (q_rollup_orders, _SQL_ROLLUP),
+    "pivot_segments": (q_pivot_segments, _SQL_PIVOT),
+    "window_topn_per_customer": (q_window_topn_per_customer, _SQL_WINDOW_TOPN),
+    "set_ops_bag": (q_set_ops_bag, _SQL_SET_OPS_BAG),
+    "set_ops_brands": (q_set_ops, _SQL_SET_OPS),
     "distinct_by_segment": (q_distinct_by_segment, _SQL_DISTINCT),
     "approx_distinct_users": (q_approx_distinct, None),
     "string_funcs": (q_string_funcs, _SQL_STRING),
@@ -2287,7 +2415,6 @@ QUERIES: Dict[str, QuerySpec] = {
     "map_funcs": (q_map_funcs, _SQL_MAP_FUNCS),
     "window_analytics": (q_window_analytics, _SQL_WINDOW_ANALYTICS),
     "window_frame_values": (q_window_frame_values, _SQL_WINDOW_FRAME_VALUES),
-    "string_agg_nations": (q_string_agg, _SQL_STRING_AGG),
     "null_semantics": (q_null_semantics, _SQL_NULL_SEMANTICS),
     "try_cast_parse": (q_try_cast_parse, _SQL_TRY_CAST),
     "exists_subqueries": (q_exists_subqueries, _SQL_EXISTS),

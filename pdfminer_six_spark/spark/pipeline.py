@@ -287,8 +287,14 @@ def extract_transcripts_dedup(
         F.col("conv_id").alias("_fp"),
         "text", "n_pages", "n_chars", "status", "error", "wall_ms", "spans",
     )
+    # conv_id/turn_idx come from `keyed` (the caller's input dtypes), not
+    # from the kernel's EXTRACTED_SCHEMA — cast so both the per-turn and
+    # dedup paths emit byte-identical schemas (an int64 turn_idx input
+    # would otherwise make downstream parquet type-diverge per path)
     out = keyed.join(per_payload, "_fp").select(
-        "conv_id", "turn_idx", "text", "n_pages", "n_chars", "status",
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "text", "n_pages", "n_chars", "status",
         "error", "wall_ms", "spans",
     )
     if sort_output:
@@ -485,12 +491,27 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
             # bit_xor: XOR is blind to even-multiplicity duplicates
             # (a row duplicated twice cancels out — exactly the
             # corruption class lineage exists to catch), while the sum
-            # shifts with every extra copy.  The pmod bound keeps the
-            # ANSI-mode LongType sum overflow-free to ~8e12 rows per
-            # partition (2^20 x 2^43 < 2^63).
-            F.sum(
-                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(1 << 20))
-            ).alias("conv_ids_hash"),
+            # shifts with every extra copy.  Per-row hashes are bounded
+            # to 40 bits (a 20-bit bound let a dropped+added row pair
+            # cancel with p=2^-20; 2^-40 is negligible) and accumulated
+            # in DECIMAL so the ANSI sum cannot overflow at any
+            # realistic partition size (~9e10 rows), then folded back to
+            # the 40-bit domain as a long.  FORMAT NOTE: this fingerprint
+            # changed r2->r3 (ordered xxhash64-of-collect_list -> 20-bit
+            # sum) and r3->r4 (20-bit -> 40-bit pmod-folded); lineage
+            # parquet written by different versions is NOT comparable —
+            # resume correctness is unaffected (resume anti-joins on
+            # (conv_id, turn_idx), never on this fingerprint).
+            F.pmod(
+                F.sum(
+                    F.pmod(
+                        F.xxhash64("conv_id", "turn_idx"), F.lit(1 << 40)
+                    ).cast("decimal(13,0)")
+                ),
+                F.lit(1 << 40).cast("decimal(23,0)"),
+            )
+            .cast("long")
+            .alias("conv_ids_hash"),
         )
     )
 

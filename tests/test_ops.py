@@ -659,6 +659,97 @@ def test_decode_payload_stub_fallback_is_codec_independent():
     )
 
 
+def _make_bmp24(pixels_rgb):
+    """Build an uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up)
+    from a list of rows of (r, g, b) tuples — pure struct, no codec lib."""
+    import struct as _s
+
+    h = len(pixels_rgb)
+    w = len(pixels_rgb[0])
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    for row in reversed(pixels_rgb):  # bottom-up storage
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        body += line + b"\x00" * (row_bytes - len(line))
+    data_off = 14 + 40
+    header = _s.pack("<2sIHHI", b"BM", data_off + len(body), 0, 0, data_off)
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def test_bmp_decode_real_pixels_dependency_free():
+    """The pure-python BMP decoder exercises the real-pixel path with no
+    codec library: exact PIL-formula grayscale, top-down row order."""
+    import numpy as np
+
+    from pdfminer_six_spark.ops.multimodal import (
+        _bmp_decode,
+        decode_payload_ex,
+    )
+
+    # 2x2: red, green / blue, white — distinct luma per corner
+    bmp = _make_bmp24([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    got = _bmp_decode(bmp)
+    lum = lambda r, g, b: (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+    want = np.array(
+        [lum(255, 0, 0), lum(0, 255, 0), lum(0, 0, 255), lum(255, 255, 255)],
+        dtype=np.float32,
+    )
+    assert np.array_equal(got, want)
+    samples, codec = decode_payload_ex(bmp, "image")
+    assert codec == "bmp" and np.array_equal(samples, want)
+    # non-BMP bytes fall through to the stub
+    _, codec2 = decode_payload_ex(b"\x00junk" * 30, "image")
+    assert codec2 == "stub"
+
+
+def test_bmp_decode_matches_pil_differentially():
+    """When PIL is importable, the dependency-free BMP path must be
+    bit-identical to PIL's convert('L') on the same bytes."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from pdfminer_six_spark.ops.multimodal import _bmp_decode
+
+    rows = [
+        [((r * 37) % 256, (r * 91 + c * 13) % 256, (c * 201) % 256) for c in range(7)]
+        for r in range(5)
+    ]
+    bmp = _make_bmp24(rows)
+    with Image.open(io.BytesIO(bmp)) as img:
+        want = np.asarray(img.convert("L"), dtype=np.float32).ravel()
+    assert np.array_equal(_bmp_decode(bmp), want)
+
+
+def test_extract_features_codec_column(spark):
+    """Every feature row carries its decode provenance: synthetic fake
+    payloads are 'stub', undecodable kinds are 'none', and a real BMP
+    payload reports 'bmp' (the dependency-free real-pixel path)."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        synth_media,
+    )
+
+    out = extract_features(synth_media(spark, 16)).toPandas()
+    assert set(out[out.kind == "blob"].codec) == {"none"}
+    assert set(out[out.kind != "blob"].codec) == {"stub"}
+    bmp = _make_bmp24([[(9, 9, 9), (200, 10, 30)]])
+    media = spark.createDataFrame(
+        [(99, "image", bytearray(bmp), "image/bmp", 2, 1, 0)],
+        schema=MEDIA_SCHEMA,
+    )
+    row = extract_features(media).collect()[0]
+    assert row.codec == "bmp" and row.feature is not None
+
+
 def test_decode_payload_real_codec_when_available():
     """With PIL installed, real image bytes decode to actual pixels (the
     swap-in path); skipped in containers without codec libs."""

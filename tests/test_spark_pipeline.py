@@ -116,6 +116,15 @@ def test_lineage_metrics(spark, transcripts_pdf):
     m = lineage_metrics(extract_transcripts(df)).toPandas()
     assert m.n_turns.sum() == len(transcripts_pdf)
     assert (m.n_error == 0).all()
+    # fingerprint contract: long in the folded 40-bit domain, and it
+    # SHIFTS when a row is duplicated (the even-multiplicity corruption
+    # class an XOR fingerprint is blind to)
+    assert m.conv_ids_hash.dtype.kind == "i"
+    assert ((m.conv_ids_hash >= 0) & (m.conv_ids_hash < (1 << 40))).all()
+    one = extract_transcripts(df.limit(4)).coalesce(1)
+    base = lineage_metrics(one).toPandas().conv_ids_hash.iloc[0]
+    doubled = lineage_metrics(one.union(one).coalesce(1)).toPandas()
+    assert doubled.conv_ids_hash.iloc[0] != base
 
 
 def test_skewed_conversation_salting(spark):
@@ -208,6 +217,11 @@ def test_dedup_payload_extraction_equals_per_turn(spark):
             "error", "spans"]
     a = extract_transcripts(df).withColumn("spans", F.to_json("spans"))
     b = extract_transcripts_dedup(df).withColumn("spans", F.to_json("spans"))
+    # both paths must emit IDENTICAL dtypes (the int64 turn_idx of the
+    # source relation is cast to EXTRACTED_SCHEMA's int32 in the dedup
+    # path too — parquet written with vs without --dedup-payloads must
+    # not type-diverge)
+    assert dict(a.dtypes) == dict(b.dtypes)
     a, b = a.select(cols), b.select(cols)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert b.count() == df.count()
@@ -254,12 +268,13 @@ def test_registry_order_contract():
         "extract_transcripts", "extract_layout_boxes", "extract_images",
         "training_pipeline", "media_features", "media_pipeline",
         "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-        "dedup_simhash", "dedup_clusters", "dedup_clusters_star",
-        "dedup_decontaminate", "deterministic_split", "group_sample",
+        "dedup_simhash", "dedup_simhash_verify", "dedup_clusters",
+        "dedup_clusters_star", "dedup_decontaminate",
+        "deterministic_split", "group_sample",
         "text_token_stats", "text_fingerprint", "text_language_id",
         "text_tfidf_top_terms", "text_quality", "text_gopher_rules",
         "text_length_quantiles", "ann_topk_cosine", "ann_lsh_topk",
-        "ann_ivf_topk", "embedding_near_dups",
+        "ann_lsh_verify", "ann_ivf_topk", "embedding_near_dups",
         "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
         "corpus_mix",
     ]
