@@ -48,6 +48,14 @@ def build_args(argv=None):
         default=None,
         help="document-frequency cut for the exact method's shingle join",
     )
+    p.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="fault-tolerant checkpoint dir for the cluster loop's "
+             "per-round lineage cuts; without it the loop uses "
+             "localCheckpoint (executor-local blocks — fine in local "
+             "mode, lost with a dead executor on a real cluster)",
+    )
     return p.parse_args(argv)
 
 
@@ -55,6 +63,10 @@ def run(spark, args) -> dict:
     from pyspark.sql import functions as F
 
     from pdfminer_six_spark.ops import dedup
+
+    checkpoint_dir = getattr(args, "checkpoint_dir", None)
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     docs = spark.read.parquet(args.input)
     if args.method == "lsh":
@@ -69,7 +81,9 @@ def run(spark, args) -> dict:
     pairs = pairs.localCheckpoint()
     if args.pairs_output:
         pairs.write.mode("overwrite").parquet(args.pairs_output)
-    clusters = dedup.duplicate_clusters(pairs)
+    clusters = dedup.duplicate_clusters(
+        pairs, reliable_checkpoint=bool(checkpoint_dir)
+    )
     if args.clusters_output:
         clusters.write.mode("overwrite").parquet(args.clusters_output)
     drop = clusters.filter(

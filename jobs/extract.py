@@ -82,6 +82,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--images", action="store_true",
                     help="input is a directory of PDFs (binaryFile scan); "
                          "emit one metadata+sha256 row per embedded image")
+    ap.add_argument("--split-pages", type=int, default=0, metavar="CHARS",
+                    help="opt-in intra-payload parallelism: PDF payloads "
+                         "whose b85 text is at least CHARS characters are "
+                         "page-counted once, exploded into page groups, "
+                         "extracted per group and reassembled — caps task "
+                         "skew at the page group for pathological "
+                         "multi-hundred-page payloads (0 = off)")
+    ap.add_argument("--pages-per-group", type=int, default=8,
+                    help="pages per split-extraction task (the dial between "
+                         "skew cap and payload replication; used with "
+                         "--split-pages)")
     ap.add_argument("--dedup-payloads", action="store_true",
                     help="parse each distinct (tool, text) payload once and "
                          "join results back to every referencing turn — wins "
@@ -102,20 +113,32 @@ def main() -> None:
 
 
 def run(spark, args, ap=None) -> None:
+    import functools
+
     from pdfminer_six_spark.spark.pipeline import (
         extract_transcripts,
         extract_transcripts_dedup,
+        extract_transcripts_split_pages,
         lineage_metrics,
         resume_filter,
     )
 
     dedup_payloads = getattr(args, "dedup_payloads", False)
+    split_pages = getattr(args, "split_pages", 0)
     if dedup_payloads and (args.images or args.streaming):
         # fail loudly instead of silently running the per-turn path — a
         # user counting on the payload-dedup win must know it didn't apply
         (ap.error if ap else _raise_usage)(
             "--dedup-payloads applies only to the batch transcript path "
             "(not --images/--streaming)"
+        )
+    if split_pages and (args.images or args.streaming or dedup_payloads):
+        # same loud-failure contract; dedup+split composition is not
+        # implemented (dedup already collapses the repeated big payloads
+        # that splitting would otherwise re-extract per turn)
+        (ap.error if ap else _raise_usage)(
+            "--split-pages applies only to the batch per-turn path "
+            "(not --images/--streaming/--dedup-payloads)"
         )
 
     if args.images:
@@ -156,8 +179,17 @@ def run(spark, args, ap=None) -> None:
                     and "TABLE_OR_VIEW_NOT_FOUND" not in str(e)):
                 raise
     # getattr above: run() is also driven with hand-built Namespaces
-    # (tests, embedding callers) that may predate the flag
-    extract_fn = extract_transcripts_dedup if dedup_payloads else extract_transcripts
+    # (tests, embedding callers) that may predate the flags
+    if dedup_payloads:
+        extract_fn = extract_transcripts_dedup
+    elif split_pages:
+        extract_fn = functools.partial(
+            extract_transcripts_split_pages,
+            split_chars=split_pages,
+            pages_per_group=getattr(args, "pages_per_group", 8),
+        )
+    else:
+        extract_fn = extract_transcripts
     extracted = extract_fn(
         transcripts,
         password=args.password,

@@ -328,7 +328,34 @@ def contamination_pairs(
     )
 
 
-def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def _checkpointer(df_like: DataFrame, reliable: bool):
+    """Pick the per-round lineage cut for the iterative cluster loops.
+
+    ``localCheckpoint`` stores blocks on executors — cheap, but a lost
+    executor loses the blocks and fails the job (acceptable in local mode
+    and for short loops).  With ``reliable=True`` the loop uses
+    ``checkpoint()``, which writes to the fault-tolerant checkpoint dir
+    (``spark.sparkContext.setCheckpointDir`` — jobs/dedup.py
+    --checkpoint-dir) and survives executor loss, at the cost of a
+    distributed-FS write per round.  On a real cluster running hours-long
+    dedup over 10^9 docs, reliable is the right default; raise early if
+    it is requested without a configured dir instead of failing rounds in.
+    """
+    if not reliable:
+        return lambda df: df.localCheckpoint()
+    sc = df_like.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise RuntimeError(
+            "reliable_checkpoint=True requires "
+            "spark.sparkContext.setCheckpointDir(...) "
+            "(jobs/dedup.py --checkpoint-dir)"
+        )
+    return lambda df: df.checkpoint()
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iter: int = 25, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Connected components over a near-duplicate pair list — the step a
     real corpus dedup ends with: pair evidence (from any of the similarity
     families above) is transitive-closed into clusters so one canonical
@@ -349,14 +376,17 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
     Returns (doc_id, cluster_id, cluster_size) for every doc that appears
     in at least one pair; cluster_id is the min doc_id of the component.
+    ``reliable_checkpoint`` switches the per-round lineage cut from
+    executor-local blocks to the fault-tolerant checkpoint dir (see
+    :func:`_checkpointer` for the executor-loss tradeoff).
     """
-    edges = (
+    ckpt = _checkpointer(pairs, reliable_checkpoint)
+    edges = ckpt(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -370,14 +400,13 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        merged = (
+        merged = ckpt(  # materializes: one action per round
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.col("label").alias("old_label"),
                 F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
             )
-            .localCheckpoint()  # materializes: one action per round
         )
         changed = merged.filter(F.col("label") != F.col("old_label")).count()
         labels = merged.select("node", "label")
@@ -398,7 +427,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             RuntimeWarning,
             stacklevel=2,
         )
-        return duplicate_clusters_star(pairs)
+        return duplicate_clusters_star(
+            pairs, reliable_checkpoint=reliable_checkpoint
+        )
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "label").select(
         F.col("node").alias("doc_id"),
@@ -407,7 +438,9 @@ def duplicate_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
 
-def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
+def duplicate_clusters_star(
+    pairs: DataFrame, max_iter: int = 40, reliable_checkpoint: bool = False
+) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the O(log n)-round alternative to ``duplicate_clusters`` for
@@ -428,14 +461,14 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     matches duplicate_clusters exactly: (doc_id, cluster_id,
     cluster_size) with cluster_id = min member."""
     # undirected edge list, deduped; u is the "center" endpoint
-    base = (
+    ckpt = _checkpointer(pairs, reliable_checkpoint)
+    base = ckpt(
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    nodes = base.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    nodes = ckpt(base.select(F.col("u").alias("node")).distinct())
 
     def _min_map(edges: DataFrame) -> DataFrame:
         # m(u) = min over N(u) ∪ {u}
@@ -468,7 +501,7 @@ def duplicate_clusters_star(pairs: DataFrame, max_iter: int = 40) -> DataFrame:
     prev_sum = None
     converged = False
     for _ in range(max_iter):
-        edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        edges = ckpt(_star(_star(edges, large=True), large=False))
         chk = edges.agg(
             F.count("*").alias("n"),
             # XOR, not SUM: order-independent and overflow-free under

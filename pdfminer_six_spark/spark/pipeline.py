@@ -304,6 +304,234 @@ def extract_transcripts_dedup(
     return out
 
 
+# --- page-split extraction (intra-payload parallelism) ---------------------
+#
+# The unit of parallelism above is the turn, so one pathological 500-page /
+# 100 MB payload owns one task end-to-end.  The split path caps task skew at
+# the page group: pass 1 opens each oversized payload once and counts its
+# pages (xref + page-tree DFS only — no content interpretation); the payload
+# then explodes to ceil(n_pages / pages_per_group) rows, each carrying the
+# payload bytes once per GROUP (shuffle volume = payload_bytes x n_groups —
+# pages_per_group is the dial between skew cap and replication); pass 2
+# extracts each page range independently (extract_text(page_numbers=...));
+# reassembly concatenates group texts in page order.  Page texts are
+# \f-terminated by the text sink, so the concatenation is byte-identical to
+# the unsplit output (differentially tested) — the distributed version of
+# the reference's per-page lazy iteration (high_level.py:190-227).
+
+_PAGED_COUNTED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("status", StringType()),  # '' = splittable, else terminal
+        StructField("error", StringType()),
+    ]
+)
+
+_PAGED_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("grp", IntegerType()),
+        StructField("text", StringType()),
+        StructField("status", StringType()),
+        StructField("error", StringType()),
+        StructField("wall_ms", DoubleType()),
+    ]
+)
+
+
+def _count_pages_run(password: str):
+    """Pass-1 kernel: (conv_id, turn_idx, text[b85 pdf]) -> page count, or a
+    terminal status for payloads the unsplit kernel would also fail on
+    (b85 errors, bad passwords, unreadable page trees)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdfminer_six_spark.core.crypto import EncryptionError
+        from pdfminer_six_spark.core.document import Document, iter_pages
+
+        for b in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                b["conv_id"], b["turn_idx"], b["text"]
+            ):
+                try:
+                    payload = base64.b85decode(text or "")
+                except ValueError as e:
+                    rows.append(
+                        (conv_id, turn_idx, "", 0, "error", f"b85decode: {e}")
+                    )
+                    continue
+                try:
+                    doc = Document(payload, password=password)
+                    n = sum(1 for _ in iter_pages(doc))
+                except EncryptionError as e:
+                    rows.append((conv_id, turn_idx, "", 0, "bad_password", str(e)))
+                    continue
+                except Exception as e:
+                    # NOTE: a doc that is BOTH tree-corrupt and
+                    # content-corrupt surfaces the tree error here, while
+                    # the unsplit kernel may hit an earlier content error
+                    # first — extracted text is '' either way; only the
+                    # error string can differ on that double-corrupt case
+                    rows.append(
+                        (conv_id, turn_idx, "", 0, "error",
+                         f"{type(e).__name__}: {e}")
+                    )
+                    continue
+                rows.append((conv_id, turn_idx, text, max(n, 1), "", ""))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PAGED_COUNTED_SCHEMA.fields]
+            ).astype({"turn_idx": "int32", "n_pages": "int32"})
+
+    return run
+
+
+def page_groups(
+    counted: DataFrame,
+    pages_per_group: int = 8,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Explode pass-1 rows to one row per page group and spread the groups
+    across tasks (hash on (conv_id, turn_idx, grp) — the whole point: two
+    groups of the same document land on different tasks).  Factored out so
+    tests can assert the spread directly."""
+    g = counted.withColumn(
+        "grp",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("n_pages") / F.lit(pages_per_group)).cast("int") - 1,
+            )
+        ),
+    )
+    return g.repartition(
+        num_partitions or counted.sparkSession.sparkContext.defaultParallelism,
+        "conv_id", "turn_idx", "grp",
+    )
+
+
+def extract_transcripts_split_pages(
+    df: DataFrame,
+    password: str = "",
+    split_chars: int = 200_000,
+    pages_per_group: int = 8,
+    rebalance_partitions: Optional[int] = None,
+    sort_output: bool = False,
+) -> DataFrame:
+    """Extraction with opt-in page-level splitting of oversized payloads
+    (jobs/extract.py --split-pages): turns whose b85 payload is at least
+    ``split_chars`` characters (~split_chars*4/5 bytes) AND tool='pdf' take
+    the two-pass page-group path; everything else takes the standard
+    row-local kernel.  Output is byte-identical to extract_transcripts
+    modulo wall_ms (per-group costs are summed) — differentially tested.
+    """
+    src = df.select("conv_id", "turn_idx", "text", "tool")
+    is_big = (F.col("tool") == F.lit("pdf")) & (
+        F.length("text") >= F.lit(split_chars)
+    )
+    small_out = extract_transcripts(
+        df.filter(~F.coalesce(is_big, F.lit(False))),
+        password=password,
+        rebalance_partitions=rebalance_partitions,
+    )
+    big = src.filter(F.coalesce(is_big, F.lit(False)))
+
+    counted = big.mapInPandas(
+        _count_pages_run(password), schema=_PAGED_COUNTED_SCHEMA
+    )
+    # pass-1 terminal failures: same row shape the unsplit kernel emits
+    empty_spans = F.array().cast(EXTRACTED_SCHEMA["spans"].dataType)
+    direct = counted.filter(F.col("status") != "").select(
+        "conv_id", "turn_idx",
+        F.lit("").alias("text"),
+        F.lit(0).cast("int").alias("n_pages"),
+        F.lit(0).cast("int").alias("n_chars"),
+        "status", "error",
+        F.lit(0.0).alias("wall_ms"),
+        empty_spans.alias("spans"),
+    )
+
+    groups = page_groups(
+        counted.filter(F.col("status") == ""), pages_per_group,
+        rebalance_partitions,
+    )
+
+    def extract_group(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdfminer_six_spark.core.extract import extract_text
+
+        for b in batches:
+            rows = []
+            for conv_id, turn_idx, text, grp in zip(
+                b["conv_id"], b["turn_idx"], b["text"], b["grp"]
+            ):
+                t0 = time.perf_counter()
+                payload = base64.b85decode(text)  # pass 1 proved decodable
+                pages = range(
+                    int(grp) * pages_per_group, (int(grp) + 1) * pages_per_group
+                )
+                try:
+                    out = extract_text(
+                        payload, password=password, page_numbers=set(pages)
+                    )
+                    st, err = "ok", ""
+                except Exception as e:
+                    out, st, err = "", "error", f"{type(e).__name__}: {e}"
+                rows.append(
+                    (conv_id, turn_idx, int(grp), out, st, err,
+                     (time.perf_counter() - t0) * 1000.0)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PAGED_PARTIAL_SCHEMA.fields]
+            ).astype({"turn_idx": "int32", "grp": "int32"})
+
+    partials = groups.mapInPandas(extract_group, schema=_PAGED_PARTIAL_SCHEMA)
+
+    def reassemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one group key = one document's page-group partials (small by
+        # construction: n_pages / pages_per_group rows)
+        pdf = pdf.sort_values("grp")
+        conv_id = pdf["conv_id"].iloc[0]
+        turn_idx = pdf["turn_idx"].iloc[0]
+        errs = pdf[pdf["status"] == "error"]
+        if len(errs):
+            # the unsplit kernel fails the WHOLE doc on the first page
+            # error — reproduce that contract (lowest-group error wins)
+            text, n_pages, status, error = "", 0, "error", errs["error"].iloc[0]
+        else:
+            text = "".join(pdf["text"])
+            n_pages = text.count("\f")
+            status = "ok" if text else "empty"
+            error = ""
+        return pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "turn_idx": pd.Series([turn_idx], dtype="int32"),
+                "text": [text],
+                "n_pages": pd.Series([n_pages], dtype="int32"),
+                "n_chars": pd.Series([len(text)], dtype="int32"),
+                "status": [status],
+                "error": [error],
+                "wall_ms": pd.Series([float(pdf["wall_ms"].sum())],
+                                     dtype="float64"),
+                "spans": pd.Series([_char_spans(text, n_pages)], dtype="object"),
+            }
+        )
+
+    assembled = partials.groupBy("conv_id", "turn_idx").applyInPandas(
+        reassemble, EXTRACTED_SCHEMA
+    )
+
+    out = small_out.unionByName(assembled).unionByName(direct)
+    if sort_output:
+        out = out.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
+            "conv_id", "turn_idx"
+        )
+    return out
+
+
 LAYOUT_UNION_SCHEMA = StructType(
     [
         StructField("relation", StringType()),  # char | line | box

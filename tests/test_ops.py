@@ -209,6 +209,53 @@ def test_duplicate_clusters_chain_and_islands(spark):
     assert all(out[d]["cluster_size"] == 2 for d in (20, 21))
 
 
+def test_duplicate_clusters_reliable_checkpoint_mode(spark, tmp_path):
+    """reliable_checkpoint=True routes the per-round lineage cuts through
+    the fault-tolerant checkpoint dir (identical labels), and raises
+    loudly when no dir is configured instead of failing rounds in."""
+    import pytest
+
+    from pdfminer_six_spark.ops.dedup import (
+        duplicate_clusters,
+        duplicate_clusters_star,
+    )
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_a": [10, 11, 12, 20],
+                "doc_b": [11, 12, 13, 21],
+                "jaccard": [0.9] * 4,
+            }
+        )
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        duplicate_clusters(pairs, reliable_checkpoint=True)
+    # setting a dir is sticky on the shared session, but harmless: every
+    # other caller keeps reliable_checkpoint=False (localCheckpoint)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    want = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    got = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(pairs, reliable_checkpoint=True).collect()
+    }
+    got_star = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters_star(
+            pairs, reliable_checkpoint=True
+        ).collect()
+    }
+    assert got == want and got_star == want
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))  # actually wrote there
+
+
 def test_duplicate_clusters_matches_bruteforce_on_random_graph(spark):
     """Propagation fixpoint == union-find ground truth on a random graph."""
     import random

@@ -227,6 +227,79 @@ def test_dedup_payload_extraction_equals_per_turn(spark):
     assert b.count() == df.count()
 
 
+def test_split_pages_equals_unsplit_and_spreads_tasks(spark):
+    """--split-pages semantics: a pathological 120-page payload is
+    extracted in page groups across MULTIPLE tasks with byte-identical
+    output to the unsplit path (pages are \\f-framed, so group
+    concatenation is exact).  Also covers the pass-1 terminal rows
+    (undecodable oversized payload)."""
+    import base64
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.datagen.transcripts import (
+        synth_pdf,
+        transcripts_pandas,
+    )
+    from pdfminer_six_spark.spark.pipeline import (
+        _PAGED_COUNTED_SCHEMA,
+        extract_transcripts,
+        extract_transcripts_split_pages,
+        page_groups,
+    )
+
+    p = transcripts_pandas(n_convs=8)
+    big_pdf = synth_pdf(
+        [[f"page {i} line {j}" for j in range(3)] for i in range(120)]
+    )
+    big_text = base64.b85encode(big_pdf).decode()
+    extra = pd.DataFrame(
+        {
+            "conv_id": ["conv_big", "conv_junk"],
+            "turn_idx": [0, 0],
+            "role": ["tool", "tool"],
+            "text": [big_text, "~" * len(big_text)],  # junk: b85-invalid
+            "tool": ["pdf", "pdf"],
+            "ts": [p["ts"].iloc[0]] * 2,
+        }
+    )
+    df = spark.createDataFrame(
+        pd.concat([p, extra], ignore_index=True), schema=None
+    )
+    # threshold below the big payloads only
+    split_chars = min(len(big_text), len(big_text)) // 2
+    cols = ["conv_id", "turn_idx", "text", "n_pages", "n_chars", "status",
+            "error", "spans"]
+    a = (
+        extract_transcripts(df)
+        .withColumn("spans", F.to_json("spans")).select(cols)
+    )
+    b = (
+        extract_transcripts_split_pages(
+            df, split_chars=split_chars, pages_per_group=8
+        )
+        .withColumn("spans", F.to_json("spans")).select(cols)
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    big_row = b.filter(F.col("conv_id") == "conv_big").collect()[0]
+    assert big_row.status == "ok" and big_row.n_pages == 120
+    junk_row = b.filter(F.col("conv_id") == "conv_junk").collect()[0]
+    assert junk_row.status == "error" and "b85decode" in junk_row.error
+    # the 120-page payload's 15 page groups occupy MULTIPLE tasks
+    counted = spark.createDataFrame(
+        [("conv_big", 0, big_text, 120, "", "")], schema=_PAGED_COUNTED_SCHEMA
+    )
+    parts = (
+        page_groups(counted, pages_per_group=8, num_partitions=8)
+        .select(F.spark_partition_id().alias("pid"), "grp")
+        .collect()
+    )
+    assert len(parts) == 15  # ceil(120 / 8)
+    assert len({r.pid for r in parts}) >= 2
+
+
 def test_driver_entry_surface(spark):
     """__spark_entry__ contract: entry() returns a non-empty DataFrame
     with a stable schema; every queries() key resolves to a callable;
