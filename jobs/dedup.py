@@ -76,9 +76,11 @@ def run(spark, args) -> dict:
             docs, threshold=args.threshold, max_df=args.max_df
         )
     # the pair relation feeds the (iterative) clustering AND the optional
-    # pairs sink; localCheckpoint inside duplicate_clusters detaches the
-    # loop, so materialize pairs once here for both consumers
-    pairs = pairs.localCheckpoint()
+    # pairs sink, so materialize pairs once here for both consumers — via
+    # the fault-tolerant checkpoint dir when one is configured (otherwise
+    # the executor-local blocks would stay a single point of failure and
+    # defeat --checkpoint-dir's whole promise)
+    pairs = pairs.checkpoint() if checkpoint_dir else pairs.localCheckpoint()
     if args.pairs_output:
         pairs.write.mode("overwrite").parquet(args.pairs_output)
     clusters = dedup.duplicate_clusters(

@@ -132,6 +132,11 @@ def run(spark, args, ap=None) -> None:
             "--dedup-payloads applies only to the batch transcript path "
             "(not --images/--streaming)"
         )
+    if split_pages and getattr(args, "pages_per_group", 8) < 1:
+        # fail at argparse time, not DIVIDE_BY_ZERO deep in the job (or,
+        # with ANSI overridden off, a silent zero-group explode that
+        # drops every oversized payload from the output)
+        (ap.error if ap else _raise_usage)("--pages-per-group must be >= 1")
     if split_pages and (args.images or args.streaming or dedup_payloads):
         # same loud-failure contract; dedup+split composition is not
         # implemented (dedup already collapses the repeated big payloads

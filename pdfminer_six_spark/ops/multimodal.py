@@ -117,7 +117,10 @@ def _bmp_decode(payload: bytes):
             b_, g_, r_ = (rows[..., c].astype(np.uint32) for c in (0, 1, 2))
         lum = (19595 * r_ + 38470 * g_ + 7471 * b_ + 0x8000) >> 16
         return lum.astype(np.float32).ravel()
-    except (ValueError, struct.error):
+    except (ValueError, struct.error, IndexError):
+        # IndexError: hostile 8-bit BMPs whose pixel bytes exceed the
+        # declared palette (biClrUsed) — must fall back to the stub, not
+        # fail the task (the never-fail decode contract)
         return None
 
 

@@ -439,9 +439,15 @@ def extract_transcripts_split_pages(
     )
     big = src.filter(F.coalesce(is_big, F.lit(False)))
 
+    # persist: `counted` feeds BOTH union branches (terminal rows + the
+    # page-group explode); without it the expensive pass-1 kernel (b85
+    # decode + xref + page-tree DFS of every oversized payload) runs
+    # twice per action (accumulator-measured 2x).  No explicit unpersist:
+    # the return is lazy — the caller's first action populates the cache,
+    # and the blocks are LRU-evicted / released with the job
     counted = big.mapInPandas(
         _count_pages_run(password), schema=_PAGED_COUNTED_SCHEMA
-    )
+    ).persist()
     # pass-1 terminal failures: same row shape the unsplit kernel emits
     empty_spans = F.array().cast(EXTRACTED_SCHEMA["spans"].dataType)
     direct = counted.filter(F.col("status") != "").select(

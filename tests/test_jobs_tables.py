@@ -148,6 +148,20 @@ def test_dedup_job_end_to_end(spark, tmp_path):
             assert row["doc_id"] not in kept
     assert surv.count() == stats["n_survivors"]
 
+    # --checkpoint-dir: identical stats via the fault-tolerant checkpoint
+    # path (pairs AND the cluster loop's per-round cuts), and the dir is
+    # actually written to
+    ck = tmp_path / "dd_ckpt"
+    args2 = job.build_args([
+        "--input", "/root/testdata/sf0.01/documents.parquet",
+        "--output", str(tmp_path / "dd_survivors2"),
+        "--method", "lsh", "--threshold", "0.6",
+        "--checkpoint-dir", str(ck),
+    ])
+    stats2 = job.run(spark, args2)
+    assert stats2 == stats
+    assert os.listdir(str(ck))
+
 
 def test_clean_job_end_to_end(spark, tmp_path):
     """jobs/clean.py: PII redaction + paragraph dedup over a corpus with
@@ -250,6 +264,8 @@ def test_split_pages_job_and_flag_conflicts(spark):
     for bad in (
         ["--dedup-payloads"], ["--images"],
         ["--streaming", "--checkpoint", "/tmp/x"],
+        ["--pages-per-group", "0"],   # DIVIDE_BY_ZERO deep in the job
+        ["--pages-per-group", "-3"],
     ):
         with pytest.raises(SystemExit):
             args = ap.parse_args(

@@ -748,6 +748,17 @@ def test_bmp_decode_real_pixels_dependency_free():
     # non-BMP bytes fall through to the stub
     _, codec2 = decode_payload_ex(b"\x00junk" * 30, "image")
     assert codec2 == "stub"
+    # hostile 8-bit BMP: pixel bytes beyond the declared 2-color palette
+    # must fall back to the stub (never-fail contract), not IndexError
+    import struct as _s
+
+    hdr = _s.pack("<2sIHHI", b"BM", 14 + 40 + 8 + 4, 0, 0, 14 + 40 + 8)
+    info = _s.pack("<IiiHHIIiiII", 40, 4, 1, 1, 8, 0, 4, 0, 0, 2, 0)
+    evil = hdr + info + b"\x00\x00\x00\x00\xff\xff\xff\x00" + bytes(
+        [200, 201, 202, 203]
+    )
+    _, codec3 = decode_payload_ex(evil, "image")
+    assert codec3 == "stub"
 
 
 def test_bmp_decode_matches_pil_differentially():
