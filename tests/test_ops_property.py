@@ -203,3 +203,40 @@ def test_stable_row_ids_equals_pandas_rank(spark):
             ).collect()
         }
         assert got == want, f"num_partitions={parts}"
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_simhash_verify_pigeonhole_complete_random(spark, seed):
+    """Quarter blocking is COMPLETE for max_hamming <= 3 on ANY signature
+    set (3 flipped bits cannot touch all 4 quarters, so at least one
+    quarter matches exactly) — simhash_verify must equal the brute-force
+    all-pairs hamming filter on random signatures, including crafted
+    near-pairs."""
+    from pdfminer_six_spark.ops.dedup import simhash_verify
+
+    rng = random.Random(seed)
+    sigs = {}
+    for i in range(40):
+        sigs[i] = rng.getrandbits(63)
+    # inject guaranteed near-pairs: clones with 0-3 random bit flips
+    for j, base in enumerate((3, 7, 11)):
+        s = sigs[base]
+        for b in rng.sample(range(63), j):
+            s ^= 1 << b
+        sigs[100 + j] = s
+    want = set()
+    ids = sorted(sigs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            h = bin(sigs[ids[x]] ^ sigs[ids[y]]).count("1")
+            if h <= 3:
+                want.add((ids[x], ids[y], h))
+    assert want  # the crafted clones guarantee a non-trivial expectation
+    sig_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(sigs), "simhash": list(sigs.values())})
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_verify(sig_df, max_hamming=3).collect()
+    }
+    assert got == want
