@@ -97,6 +97,8 @@ def main() -> None:
         "text_token_stats",
         "ann_topk_cosine",
         "embedding_near_dups_blocked",
+        # round-4 addition
+        "dedup_substring_spans",
     ]
     for _ in range(repeats):
         for name in suite:

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
 
@@ -22,7 +22,7 @@ __all__ = [
     "exact_duplicates", "shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_candidates",
     "minhash_near_duplicates", "simhash_signatures", "simhash_verify",
-    "simhash_near_duplicates", "duplicate_clusters",
+    "simhash_near_duplicates", "duplicate_clusters", "duplicate_spans",
 ]
 
 
@@ -618,3 +618,86 @@ def simhash_near_duplicates(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     # cache: the signature subplan feeds both sides of the self-join —
     # without this Spark recomputes the grouped-agg twice
     return simhash_verify(simhash_signatures(df).cache(), max_hamming)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-substring spans — the span-level sibling of
+    :func:`exact_duplicates`, after Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499):
+    a k-char gram of the normalized text is *duplicated* when its hash
+    occurs >= ``min_count`` times anywhere in the corpus (cross- or
+    within-doc — both matter for training data); per doc, duplicated
+    gram starts closer than k chars merge into maximal spans
+    (gaps-and-islands).  Returns (doc_id, span_start, span_end,
+    span_len, n_grams), positions 1-based over the normalized text.
+
+    The paper builds one corpus-wide suffix array — a single-machine
+    construction.  The Spark-native equivalent is this fixed-k gram
+    relation: hashes are computed row-local (``transform`` over
+    ``sequence``, so ``posexplode`` emits only (doc_id, pos, h) and the
+    document string never rides through the explode), duplication is a
+    count aggregate with map-side partials, and the join back is an
+    equi-join on h that AQE can skew-split when one boilerplate gram
+    (license header, site template) occurs millions of times.  That is
+    why this is agg+join rather than ``COUNT() OVER (PARTITION BY h)``:
+    the window shuffles the same gram rows once but concentrates each
+    hot h in a single task with no skew mitigation.  The gram relation
+    is deliberately recomputed for the join side (scan + md5 twice)
+    instead of cached — at corpus scale the gram relation is ~the
+    corpus itself and pinning it evicts everything else.  The island
+    merge reuses the window's hashpartitioning(doc_id): groupBy(doc_id,
+    island) satisfies its clustering requirement, so no further
+    gram-relation shuffle.
+    """
+    normed = df.select(
+        "doc_id", normalized_text(F.col(text_col)).alias("_norm")
+    ).filter(F.length("_norm") >= k)
+    # The explode amplifies each input row ~len(text)-fold, so upstream
+    # partitioning decides the gram stage's parallelism.  A big corpus
+    # scan already yields >= defaultParallelism splits and this branch
+    # never fires; a small/single-file input would otherwise hash every
+    # gram on ONE core (measured 5.0s -> 0.3s at sf0.1, local[32]).
+    sc = df.sparkSession.sparkContext
+    if normed.rdd.getNumPartitions() < sc.defaultParallelism:
+        normed = normed.repartition(sc.defaultParallelism)
+    s = F.col("_norm")
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.length(s) - k + 1),
+        lambda i: F.md5(s.substr(i, F.lit(k))),
+    )
+    grams = normed.select(
+        "doc_id", F.posexplode(gram_hashes).alias("pos0", "h")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("h")
+    )
+    dup_pos = grams.join(dup_h, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # first row of a doc: lag is NULL -> comparison NULL -> otherwise(1)
+    new_island = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dup_pos.withColumn(
+        "island",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k - 1).alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).alias("span_len"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_len", "n_grams")
+    )

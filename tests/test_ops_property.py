@@ -240,3 +240,65 @@ def test_simhash_verify_pigeonhole_complete_random(spark, seed):
         for r in simhash_verify(sig_df, max_hamming=3).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed,k", [(11, 12), (12, 12), (13, 20)])
+def test_duplicate_spans_equal_python_model_random(spark, seed, k):
+    """duplicate_spans must equal a brute-force python model (count every
+    k-gram, keep positions whose gram occurs >= 2x corpus-wide, merge
+    starts closer than k) on random docs with planted shared sentences,
+    within-doc repetition, and sub-k shorties."""
+    from pdfminer_six_spark.ops.dedup import duplicate_spans
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    shared = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8)))
+        for _ in range(4)
+    ]
+    texts = {}
+    for d in range(30):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.7:
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(shared))
+        if rng.random() < 0.2 and parts:  # within-doc repeat
+            parts = parts + parts
+        texts[d] = "  ".join(parts) + ("   " if rng.random() < 0.3 else "")
+
+    # python model over the same normalization (ASCII input by
+    # construction, so python \s == java \s here)
+    import re
+    from collections import Counter
+
+    norm = {
+        d: re.sub(r"\s+", " ", t.strip()).lower() for d, t in texts.items()
+    }
+    cnt = Counter()
+    grams = {}
+    for d, s in norm.items():
+        if len(s) < k:
+            continue
+        gs = [s[i:i + k] for i in range(len(s) - k + 1)]
+        grams[d] = gs
+        cnt.update(gs)
+    want = set()
+    for d, gs in grams.items():
+        spans = []
+        for p in (i + 1 for i, g in enumerate(gs) if cnt[g] >= 2):
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p, 1])
+        for st, en, ng in spans:
+            want.add((d, st, en + k - 1, en - st + k, ng))
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"],
+         r["n_grams"])
+        for r in duplicate_spans(df, k=k).collect()
+    }
+    assert got == want

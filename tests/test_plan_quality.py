@@ -228,6 +228,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         "histogram_totals",  # 1-row min/max broadcast cross join
         "ann_ivf_topk",  # queries × n_clusters centers: both tiny; the
         # corpus-side probe join is still an equi-join on cell id
+        "ann_ivf_verify",  # corpus × 8 broadcast fixture centers for the
+        # assignment stage; candidate scoring is an equi-join on cell id
     }
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():

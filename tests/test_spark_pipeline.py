@@ -340,14 +340,16 @@ def test_registry_order_contract():
     must_be_in_window = [
         "extract_transcripts", "extract_layout_boxes", "extract_images",
         "training_pipeline", "media_features", "media_pipeline",
-        "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_lsh",
+        "dedup_exact", "dedup_substring_spans", "dedup_jaccard_pairs",
+        "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_verify", "dedup_clusters",
         "dedup_clusters_star", "dedup_decontaminate",
         "deterministic_split", "group_sample",
         "text_token_stats", "text_fingerprint", "text_language_id",
         "text_tfidf_top_terms", "text_quality", "text_gopher_rules",
         "text_length_quantiles", "ann_topk_cosine", "ann_lsh_topk",
-        "ann_lsh_verify", "ann_ivf_topk", "embedding_near_dups",
+        "ann_lsh_verify", "ann_ivf_topk", "ann_ivf_verify",
+        "embedding_near_dups",
         "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
         "corpus_mix",
     ]
