@@ -23,6 +23,7 @@ __all__ = [
     "minhash_signatures", "minhash_lsh_candidates",
     "minhash_near_duplicates", "simhash_signatures", "simhash_verify",
     "simhash_near_duplicates", "duplicate_clusters", "duplicate_spans",
+    "remove_duplicate_spans",
 ]
 
 
@@ -700,4 +701,82 @@ def duplicate_spans(
             F.count("*").alias("n_grams"),
         )
         .select("doc_id", "span_start", "span_end", "span_len", "n_grams")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 30,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise the :func:`duplicate_spans` ranges from every document —
+    the actual cleanup step of Lee et al. 2022 (their ExactSubstr dedup
+    deletes the duplicated character ranges and keeps the remainder).
+    Returns (doc_id, text_clean, n_spans, n_chars_removed) with one row
+    per input doc; text_clean is over the NORMALIZED text (the dedup
+    family's canonical form — positions from duplicate_spans only make
+    sense there), docs with no duplicated spans pass through with
+    n_spans = 0.
+
+    Span surgery is pure built-ins: the per-doc span list (spans are
+    disjoint with >=1 char gap by construction — islands merge anything
+    closer than k) is collected, sorted, and folded with ``F.aggregate``
+    whose accumulator is (kept-so-far, prev_end); each step appends the
+    inter-span segment, the finisher appends the tail.  Whole-stage
+    codegen, no UDF.  Scale shape: the spans relation is small (only
+    duplicated regions survive), so the join back to the corpus is a
+    doc_id equi-join that AQE broadcasts when spans fit, and the span
+    collect_list reuses the island aggregate's hashpartitioning(doc_id)
+    — no extra corpus shuffle beyond the one join."""
+    spans_by_doc = (
+        duplicate_spans(df, k=k, min_count=min_count, text_col=text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("_spans"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+    normed = df.select(
+        "doc_id", normalized_text(F.col(text_col)).alias("_s")
+    )
+    s = F.col("_s")
+    folded = F.aggregate(
+        F.col("_spans"),
+        F.struct(F.lit("").alias("txt"), F.lit(0).alias("prev")),
+        lambda acc, sp: F.struct(
+            F.concat(
+                acc["txt"],
+                s.substr(
+                    acc["prev"] + F.lit(1),
+                    sp["span_start"] - acc["prev"] - F.lit(1),
+                ),
+            ).alias("txt"),
+            sp["span_end"].alias("prev"),
+        ),
+        lambda acc: F.concat(
+            acc["txt"], s.substr(acc["prev"] + F.lit(1), F.length(s))
+        ),
+    )
+    return (
+        normed.join(spans_by_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_spans").isNull(), s)
+            .otherwise(folded)
+            .alias("text_clean"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            "_s",
+        )
+        .select(
+            "doc_id",
+            "text_clean",
+            "n_spans",
+            (
+                F.coalesce(F.length("_s"), F.lit(0))
+                - F.coalesce(F.length("text_clean"), F.lit(0))
+            ).alias("n_chars_removed"),
+        )
     )

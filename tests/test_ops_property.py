@@ -302,3 +302,28 @@ def test_duplicate_spans_equal_python_model_random(spark, seed, k):
         for r in duplicate_spans(df, k=k).collect()
     }
     assert got == want
+
+    # excision over the SAME corpus: remove every spanned char range
+    # from the normalized text, keep the rest, docs without spans pass
+    # through untouched
+    from pdfminer_six_spark.ops.dedup import remove_duplicate_spans
+
+    by_doc = {}
+    for d, st, en, _sl, _ng in want:
+        by_doc.setdefault(d, []).append((st, en))
+    want_clean = {}
+    for d, s in norm.items():
+        kept, prev = [], 0
+        for st, en in sorted(by_doc.get(d, [])):
+            kept.append(s[prev:st - 1])
+            prev = en
+        kept.append(s[prev:])
+        clean = "".join(kept)
+        want_clean[d] = (
+            clean, len(by_doc.get(d, [])), len(s) - len(clean)
+        )
+    got_clean = {
+        r["doc_id"]: (r["text_clean"], r["n_spans"], r["n_chars_removed"])
+        for r in remove_duplicate_spans(df, k=k).collect()
+    }
+    assert got_clean == want_clean

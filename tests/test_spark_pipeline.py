@@ -340,8 +340,8 @@ def test_registry_order_contract():
     must_be_in_window = [
         "extract_transcripts", "extract_layout_boxes", "extract_images",
         "training_pipeline", "media_features", "media_pipeline",
-        "dedup_exact", "dedup_substring_spans", "dedup_jaccard_pairs",
-        "dedup_minhash_lsh",
+        "dedup_exact", "dedup_substring_spans", "dedup_span_excise",
+        "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_verify", "dedup_clusters",
         "dedup_clusters_star", "dedup_decontaminate",
         "deterministic_split", "group_sample",
