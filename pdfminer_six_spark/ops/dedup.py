@@ -728,7 +728,13 @@ def remove_duplicate_spans(
     duplicated regions survive), so the join back to the corpus is a
     doc_id equi-join that AQE broadcasts when spans fit, and the span
     collect_list reuses the island aggregate's hashpartitioning(doc_id)
-    — no extra corpus shuffle beyond the one join."""
+    — no extra corpus shuffle beyond the one join.
+
+    Input contract (same as paragraph_dedup / jobs/dedup.py): doc_id is
+    UNIQUE and NON-NULL.  A repeated doc_id would pool both rows' gram
+    positions into one island stream (nonsense spans) and cross-multiply
+    on the join back; NULL doc_ids never match the join key and pass
+    through unexcised."""
     spans_by_doc = (
         duplicate_spans(df, k=k, min_count=min_count, text_col=text_col)
         .groupBy("doc_id")
