@@ -231,6 +231,54 @@ def tfidf_top_terms(
     )
 
 
+def top_terms_sketch(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    sketch_k: int = 64,
+    max_tracked: int = 65536,
+) -> DataFrame:
+    """Corpus heavy hitters via Spark's ``approx_top_k`` sketch — the
+    mergeable-sketch sibling of the exact term-count aggregate, same
+    family as the GK quantile and HLL distinct sketches already in the
+    registry.  At 100 TB the exact groupBy('term') shuffles the full
+    vocabulary; the sketch is a bounded-size state merged map-side, so
+    the corpus scan is the only full pass and the shuffle carries one
+    sketch per partition.
+
+    Determinism/oracle contract: the sketch's own top-k boundary breaks
+    count ties arbitrarily, so we over-fetch (``sketch_k`` > the
+    boundary region), re-rank deterministically (count desc, term asc)
+    and cut to ``k`` AFTER the sketch.  When the tracked capacity
+    (``max_tracked``) exceeds the corpus vocabulary the sketch counts
+    are exact — true for the test tables, which is what lets the DuckDB
+    oracle assert exact equality; at real scale the same plan degrades
+    gracefully to approximate heavy hitters.  Returns (term, cnt, rank),
+    rank 1..k."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(tokens_col(normalized_text(F.col(text_col)))).alias(
+            "term"
+        )
+    )
+    sk = toks.agg(
+        F.expr(
+            f"approx_top_k(term, {int(sketch_k)}, {int(max_tracked)})"
+        ).alias("tk")
+    )
+    exploded = sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("term"),
+        F.col("e.count").alias("cnt"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "cnt", "rank")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text
     (md5 so the DuckDB oracle can reproduce it bit-for-bit)."""

@@ -963,6 +963,42 @@ def test_quantile_sketch_accuracy(spark):
             assert abs(e - a) <= max(0.05 * e, 50.0), (lang, e, a)
 
 
+def test_top_terms_sketch_exact_at_test_scale(spark):
+    """approx_top_k with tracked capacity > corpus vocabulary is exact,
+    so the sketch query must equal the exact term-count top-20 under the
+    same deterministic tie-break (count desc, term asc)."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.ops.textstats import (
+        normalized_text,
+        tokens_col,
+        top_terms_sketch,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    exact = (
+        docs.select(
+            F.explode(
+                tokens_col(normalized_text(F.col("text")))
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+        .collect()
+    )
+    want = [(r["term"], r["cnt"]) for r in exact]
+    got = [
+        (r["term"], r["cnt"])
+        for r in top_terms_sketch(docs, k=20)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want
+
+
 def test_stateful_conversation_sessions(spark, tmp_path):
     """Custom stateful streaming operator (applyInPandasWithState):
     conversations close via event-time timeout once the watermark passes

@@ -346,7 +346,8 @@ def test_registry_order_contract():
         "dedup_clusters_star", "dedup_decontaminate",
         "deterministic_split", "group_sample",
         "text_token_stats", "text_fingerprint", "text_language_id",
-        "text_tfidf_top_terms", "text_quality", "text_gopher_rules",
+        "text_tfidf_top_terms", "text_top_terms_sketch", "text_quality",
+        "text_gopher_rules",
         "text_length_quantiles", "ann_topk_cosine", "ann_lsh_topk",
         "ann_lsh_verify", "ann_ivf_topk", "ann_ivf_verify",
         "embedding_near_dups",
