@@ -2680,7 +2680,8 @@ QUERIES: Dict[str, QuerySpec] = {
     # The driver oracles only the first 50 entries (dict order), so the
     # interchangeable SQL-battery demos past the window age a round each
     # cycle.  The 11 slots below the 39 first-class entries are split:
-    # 6 pinned category representatives + 5 rotating slots that cycle
+    # 6 pinned category representatives + 4 rotating slots (the 5th went
+    # to clean_pipeline this round) that cycle
     # stale tail queries back through the driver each round (r04 pool:
     # the 7 below; r05 should swap them for the next-stalest tail
     # entries — every tail query stays <= ~3 rounds without a fresh
@@ -2699,7 +2700,12 @@ QUERIES: Dict[str, QuerySpec] = {
     "not_in_null_trap": (q_not_in_null_trap, _SQL_NOT_IN),
     "topk_orders": (q_topk_orders, _SQL_TOPK),
     "cube_orders": (q_cube_orders, _SQL_CUBE),
-    "grouping_sets_orders": (q_grouping_sets, _SQL_GROUPING_SETS),
+    # fully-oracled composed cleaning pipeline (redact -> span excision
+    # -> Gopher verdict, one lazy plan) — takes the 5th rotating slot so
+    # the composition itself gets a hard driver row; grouping_sets moved
+    # past the window (green r02, its category is pinned via
+    # cube/rollup-family reps across rounds)
+    "clean_pipeline": (q_clean_pipeline, _clean_pipeline_sql()),
     # ---- past the driver window (index >= 50): interchangeable demos,
     # categories already driver-green via the representatives above or in
     # a recent round (r03 reps rotated out below were all green in r03;
@@ -2707,12 +2713,7 @@ QUERIES: Dict[str, QuerySpec] = {
     # green r03/r02 — to make window room for ann_ivf_verify and
     # dedup_substring_spans; r05 rotation should bring string_agg_nations
     # back first, it gave up its rotation slot)
-    # fully-oracled composed cleaning pipeline (redact -> span excision
-    # -> Gopher verdict, one lazy plan).  Past the window only because
-    # every stage already holds a first-class in-window slot; the local
-    # harness (scripts/check_oracles.py) verifies it at 3 SFs like
-    # everything else.
-    "clean_pipeline": (q_clean_pipeline, _clean_pipeline_sql()),
+    "grouping_sets_orders": (q_grouping_sets, _SQL_GROUPING_SETS),
     "string_agg_nations": (q_string_agg, _SQL_STRING_AGG),
     "recursive_date_spine": (q_recursive_date_spine, _SQL_RECURSIVE_SPINE),
     "unpivot_token_stats": (q_unpivot_token_stats, _SQL_UNPIVOT),

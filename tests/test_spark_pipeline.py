@@ -357,4 +357,7 @@ def test_registry_order_contract():
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
     assert not late, f"first-class queries past the driver window: {late}"
+    # the composed cleaning pipeline holds the last rotating slot — it
+    # must be inside the 50-entry window but is allowed past 45
+    assert order.index("clean_pipeline") < 50
     assert order[0] == "extract_transcripts"
