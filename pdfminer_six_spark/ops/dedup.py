@@ -667,9 +667,19 @@ def duplicate_spans(
     if normed.rdd.getNumPartitions() < sc.defaultParallelism:
         normed = normed.repartition(sc.defaultParallelism)
     s = F.col("_norm")
+    # xxhash64, NOT md5: one 8-byte long per gram instead of a 32-char
+    # digest string.  The gram stage materializes len(text) hashes per
+    # doc, so digest strings make it allocation/GC/bandwidth-bound —
+    # measured on the 8x sf0.1 corpus (40k docs) the md5 variant scaled
+    # 1.37x from 8 to 32 cores (memory-wall, not CPU) and the long
+    # variant both runs faster and shuffles 4x narrower keys.  The
+    # DuckDB oracle keeps md5: engines only need ANY consistent gram
+    # hash because the compared output is the spans; a cross-doc 64-bit
+    # collision (expected colliding pairs ~ n_grams^2 / 2^65, ~1e-6 at
+    # 10M grams) could at worst mint one spurious k-char span.
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.length(s) - k + 1),
-        lambda i: F.md5(s.substr(i, F.lit(k))),
+        lambda i: F.xxhash64(s.substr(i, F.lit(k))),
     )
     grams = normed.select(
         "doc_id", F.posexplode(gram_hashes).alias("pos0", "h")
