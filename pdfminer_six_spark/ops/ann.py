@@ -317,3 +317,115 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centers: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and dropping, within
+    each cluster, every vector that has a near-identical (cosine >=
+    ``threshold``) neighbour with a smaller id — the same deterministic
+    keep-min-id rule ``embedding_near_duplicates`` uses, applied
+    cluster-locally instead of corpus-wide.
+
+    ``centers`` is a small relation ``(cell int, center array<double>)``
+    supplied by the caller: the production path derives it from a k-means
+    quantizer (``semdedup_kmeans``); tests/oracles pass a deterministic
+    fixture so both engines compute identical cells.
+
+    Returns one row per input vector: ``(vec_id, cell, kept)``.
+
+    Scale (100 TB): the centers broadcast (k rows); assignment is a
+    map-side-combinable ``max(struct(cos, -cell))`` aggregate — no window,
+    no extra shuffle beyond the per-id agg.  The pair search is an
+    equi-join on ``cell`` (plan-asserted: test_plan_quality.py), so the
+    quadratic term is bounded per cell (k ~ sqrt(n) cells keeps expected
+    cell size ~sqrt(n)); the corpus never broadcasts and never
+    cross-joins.  All cosines round to 5 decimals before any comparison
+    (the cross-engine float discipline every oracled embedding query
+    uses), assignment ties break toward the smallest cell id.
+
+    The assigned relation is consumed three times (both self-join sides +
+    the verdict join-back) and is NOT persisted: interleaved best-of-3 at
+    sf0.1 measured cache SLOWER (0.69 s vs 0.49 s uncached — the assign
+    subtree is one broadcast pass, cheaper than the memory-format
+    round-trip at this scale).  On a 10^9-row corpus the recompute is
+    3 scans × O(n·k) cosines; callers at that scale should persist or
+    checkpoint their input slice and pass it in — the op composes with a
+    pre-persisted ``embeddings`` unchanged.
+    """
+    cos_c = F.round(cosine_expr(F.col(vec_col), F.col("center")), 5)
+    assigned = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centers))
+        .withColumn("cos_c", cos_c)
+        .groupBy(id_col, vec_col)
+        .agg(
+            F.max(
+                F.struct(F.col("cos_c"), (-F.col("cell")).alias("negcell"))
+            ).alias("best")
+        )
+        .select(
+            id_col, vec_col, (-F.col("best.negcell")).alias("cell")
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(cosine_expr(F.col("_va"), F.col("_vb")), 5)
+            >= F.lit(threshold)
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semdedup_kmeans(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production SemDeDup: derive the cluster centers with the same
+    seeded pyspark.ml KMeans quantizer ``ivf_topk`` uses, then apply the
+    deterministic cluster-local dedup rule.  Engine-specific only in the
+    quantizer — the dedup stage itself is oracled via ``semdedup`` with a
+    fixture center set (queries.py: ``semdedup_verify``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb_v = embeddings.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(emb_v)
+    spark = embeddings.sparkSession
+    centers = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    )
+    return semdedup(
+        embeddings, centers, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )

@@ -18,9 +18,9 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["PII_PATTERNS", "redact_pii", "paragraph_dedup"]
+__all__ = ["PII_PATTERNS", "redact_pii", "paragraph_dedup", "pack_sequences"]
 
 
 # (name, regex, replacement) — patterns restricted to syntax with identical
@@ -126,4 +126,69 @@ def paragraph_dedup(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         "n_paras",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy contiguous sequence packing — the corpus-assembly step that
+    turns cleaned documents into fixed-capacity training sequences
+    (sample packing): documents are laid end-to-end in stable id order
+    and cut into ``capacity``-token bins, so a document starts at the
+    offset where the previous one ended and may straddle a bin boundary.
+
+    Emits one row per document: ``(doc_id, shard, seq_idx, tok_offset,
+    n_tokens, straddles)`` where ``seq_idx`` is the bin the document
+    STARTS in (shard-local), ``tok_offset`` its token offset in that bin,
+    and ``straddles`` whether it crosses into the next bin.  Token counts
+    use the shared whitespace tokenizer (ops/textstats.tokens_col), so
+    the numbers line up with every other oracled text op.
+
+    Scale (100 TB): a single global running sum would serialize the
+    corpus through one task, so packing is SHARDED — ``shard =
+    doc_id % n_shards``, and the running sum is a window partitioned by
+    shard, ordered by doc_id.  Each shard sorts and scans only its slice
+    (one shuffle on shard), shards pack independently, and n_shards
+    scales with the cluster; the emitted sequences are identical across
+    cluster sizes because shard assignment and intra-shard order are
+    pure functions of doc_id.  All arithmetic is integer (cumulative
+    sums, DIV, MOD) — bit-identical on any engine, no float discipline
+    needed.
+    """
+    from .textstats import tokens_col
+
+    toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cap = F.lit(capacity).cast("long")
+    return (
+        df.select(
+            id_col,
+            F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "shard",
+            F.expr(f"start DIV {capacity}").alias("seq_idx"),
+            F.pmod(F.col("start"), cap).alias("tok_offset"),
+            "n_tokens",
+            (
+                (F.col("n_tokens") > 0)
+                & (
+                    F.expr(f"(cum - 1) DIV {capacity}")
+                    > F.expr(f"start DIV {capacity}")
+                )
+            ).alias("straddles"),
+        )
     )

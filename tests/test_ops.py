@@ -1406,3 +1406,121 @@ def test_windowed_turn_metrics_with_late_data(spark, tmp_path):
     assert first.n_turns == 3 and first.n_pdf_turns == 1
     third = rows[(t0 + dt.timedelta(hours=3), "c1")]
     assert third.n_turns == 2 and third.n_pdf_turns == 1
+
+
+def test_pack_sequences_contiguous_fill(spark):
+    """Single shard, capacity 10: documents laid end-to-end in id order,
+    seq_idx/tok_offset follow the running sum exactly, straddles flags
+    precisely the docs that cross a bin boundary (and never a 0-token
+    doc sitting on one)."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import pack_sequences
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["w " * 4, "w " * 8, "w " * 10, "   "],
+            }
+        )
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, capacity=10, n_shards=1).collect()
+    }
+    # cum: 4, 12, 22, 22 -> start: 0, 4, 12, 22
+    assert (rows[0]["seq_idx"], rows[0]["tok_offset"], rows[0]["straddles"]) \
+        == (0, 0, False)
+    assert (rows[1]["seq_idx"], rows[1]["tok_offset"], rows[1]["straddles"]) \
+        == (0, 4, True)  # occupies tokens 4..11, crosses the bin edge at 10
+    assert (rows[2]["seq_idx"], rows[2]["tok_offset"], rows[2]["straddles"]) \
+        == (1, 2, True)  # occupies 12..21, crosses the edge at 20
+    assert (rows[3]["seq_idx"], rows[3]["tok_offset"], rows[3]["straddles"]) \
+        == (2, 2, False)  # empty doc at a boundary never straddles
+    assert all(r["shard"] == 0 for r in rows.values())
+
+
+def test_pack_sequences_stable_under_partitioning(spark):
+    """Packing is a pure function of (doc_id, n_tokens): repartitioning
+    the input arbitrarily changes nothing — the property that makes the
+    emitted sequences identical across cluster sizes."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import pack_sequences
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(40)), "text": ["tok " * (i % 7) for i in range(40)]}
+    )
+    df = spark.createDataFrame(pdf)
+    a = sorted(map(tuple, pack_sequences(df, 16, 4).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(df.repartition(13).sortWithinPartitions(
+            "text"), 16, 4).collect())
+    )
+    assert a == b
+    # within a shard, each doc starts where the previous one ended
+    per_shard = {}
+    for doc_id, shard, seq_idx, off, n, _ in a:
+        per_shard.setdefault(shard, []).append((doc_id, seq_idx * 16 + off, n))
+    for docs in per_shard.values():
+        pos = 0
+        for _doc, start, n in sorted(docs):
+            assert start == pos
+            pos += n
+
+
+def test_semdedup_fixture_keep_min_id_rule(spark):
+    """Hand-built 2-cluster corpus: near-identical vectors collapse to the
+    smallest id in their cell; cross-cell similarity never drops anything;
+    assignment follows argmax cosine with ties toward the smaller cell."""
+    from pdfminer_six_spark.ops.ann import semdedup
+
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.9, 0.1]),   # cos to 10 ~ 0.994 -> dropped
+            (12, [0.0, 1.0]),
+            (13, [0.05, 1.0]),  # cos to 12 ~ 0.999 -> dropped
+            (14, [-1.0, 0.0]),  # cell 1 (cos 0 beats -1), no near neighbour
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    centers = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, center array<double>"
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, centers, 0.95).collect()}
+    assert {v for v, r in out.items() if r["kept"]} == {10, 12, 14}
+    assert out[11]["cell"] == 0 and out[13]["cell"] == 1
+    assert out[14]["cell"] == 1
+
+
+def test_semdedup_kmeans_matches_numpy_rule(spark):
+    """Production path (seeded KMeans quantizer): every vector appears
+    exactly once, and the keep verdict matches an independent numpy
+    recomputation of the cluster-local smaller-id-neighbour rule on the
+    cells the op itself assigned."""
+    import numpy as np
+
+    from pdfminer_six_spark.ops.ann import semdedup_kmeans
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(30, 8))
+    vecs = np.vstack([base, base + rng.normal(scale=0.01, size=(30, 8))])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<float>",
+    )
+    out = semdedup_kmeans(emb, n_clusters=4, threshold=0.95).collect()
+    assert sorted(r["vec_id"] for r in out) == list(range(60))
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    f32 = vecs.astype(np.float32).astype(np.float64)  # float cast like Spark
+    unit = f32 / np.linalg.norm(f32, axis=1, keepdims=True)
+    cos = np.round(unit @ unit.T, 5)
+    for r in out:
+        v = r["vec_id"]
+        has_smaller = any(
+            u < v and cells[u] == cells[v] and cos[u, v] >= 0.95
+            for u in range(60)
+        )
+        assert r["kept"] == (not has_smaller), (v, r["kept"])

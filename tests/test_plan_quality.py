@@ -211,6 +211,28 @@ def test_tfidf_partial_aggregation(spark):
     assert "BroadcastExchange" in plan  # the 1-row corpus-size join
 
 
+def test_semdedup_pair_scan_is_equi_join(spark):
+    """SemDeDup's quadratic term must stay cell-local: the only
+    nested-loop join in the plan is the corpus × k-centers assignment
+    broadcast; the pair scan itself is an equi-join on cell (hash or
+    sort-merge), never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.ops.ann import semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    centers = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").cast("array<double>").alias("center"),
+    )
+    plan = _plan(semdedup(emb, centers, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    # every nested-loop join in the plan is the corpus × centers
+    # assignment broadcast (the subtree replays once per use of the
+    # assigned relation); the pair scan itself must be a shuffle join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_no_accidental_cartesian_or_nested_loop_joins(spark):
     """Repo-wide plan invariant: NO query compiles to a cartesian product,
     and nested-loop joins appear only where they are the design:
@@ -230,6 +252,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         # corpus-side probe join is still an equi-join on cell id
         "ann_ivf_verify",  # corpus × 8 broadcast fixture centers for the
         # assignment stage; candidate scoring is an equi-join on cell id
+        "semdedup_verify",  # same shape: corpus × 8 broadcast fixture
+        # centers for assignment; the dedup pair scan is an equi-join on
+        # cell id (asserted by test_semdedup_pair_scan_is_equi_join)
+        "semdedup_kmeans",  # corpus × k broadcast KMeans centers
     }
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():

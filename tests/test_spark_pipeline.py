@@ -352,7 +352,7 @@ def test_registry_order_contract():
         "ann_lsh_verify", "ann_ivf_topk", "ann_ivf_verify",
         "embedding_near_dups",
         "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
-        "corpus_mix",
+        "corpus_mix", "pack_sequences", "semdedup_verify",
     ]
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
