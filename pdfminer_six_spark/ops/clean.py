@@ -20,7 +20,13 @@ from typing import Sequence, Tuple
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["PII_PATTERNS", "redact_pii", "paragraph_dedup", "pack_sequences"]
+__all__ = [
+    "PII_PATTERNS",
+    "redact_pii",
+    "paragraph_dedup",
+    "pack_sequences",
+    "chunk_documents",
+]
 
 
 # (name, regex, replacement) — patterns restricted to syntax with identical
@@ -190,5 +196,63 @@ def pack_sequences(
                     > F.expr(f"start DIV {capacity}")
                 )
             ).alias("straddles"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    between cleaning and embedding/training: each document explodes into
+    windows of ``chunk_tokens`` whitespace tokens starting every
+    ``stride`` tokens (stride < chunk_tokens overlaps consecutive chunks,
+    the usual RAG/long-doc recipe; the last window is allowed short).
+
+    Emits ``(doc_id, chunk_idx, start_tok, end_tok, n_chunk_tokens,
+    chunk_text)`` — token offsets are half-open [start_tok, end_tok) over
+    the shared whitespace tokenizer, so chunks line up with every other
+    oracled text op; empty documents emit no chunks.  ``chunk_text``
+    re-joins the window's tokens with single spaces (chunking operates on
+    the token stream, not raw bytes).
+
+    Scale (100 TB): pure per-row explode — zero shuffles, row multiplier
+    ~ n_tokens/stride, everything whole-stage codegen; the chunk relation
+    partitions exactly like its source, so a downstream embed/dedup stage
+    starts from scan-local data.
+    """
+    from .textstats import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(id_col, toks.alias("_toks"), n.alias("_n"), starts.alias("_starts"))
+        .select(
+            id_col,
+            "_toks",
+            "_n",
+            F.posexplode("_starts").alias("chunk_idx", "start_tok"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.col("start_tok") + F.lit(chunk_tokens), F.col("_n")
+            ).cast("long").alias("end_tok"),
+            (
+                F.least(F.col("start_tok") + F.lit(chunk_tokens), F.col("_n"))
+                - F.col("start_tok")
+            ).cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(
+                " ", F.slice("_toks", F.col("start_tok") + 1, F.lit(chunk_tokens))
+            ).alias("chunk_text"),
         )
     )

@@ -1524,3 +1524,35 @@ def test_semdedup_kmeans_matches_numpy_rule(spark):
             for u in range(60)
         )
         assert r["kept"] == (not has_smaller), (v, r["kept"])
+
+
+def test_chunk_documents_windows_and_offsets(spark):
+    """64/48 token windows: offsets half-open over the whitespace token
+    stream, overlap = chunk_tokens - stride, short final window kept,
+    empty docs emit nothing."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [" ".join(toks), "  "]})
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_idx"]),
+    )
+    assert all(r["doc_id"] == 1 for r in rows)  # empty doc -> no chunks
+    got = [
+        (r["chunk_idx"], r["start_tok"], r["end_tok"], r["chunk_text"])
+        for r in rows
+    ]
+    assert got == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 7, "t3 t4 t5 t6"),
+        (2, 6, 10, "t6 t7 t8 t9"),
+        (3, 9, 10, "t9"),  # short tail window
+    ]
+    assert all(
+        r["n_chunk_tokens"] == r["end_tok"] - r["start_tok"] for r in rows
+    )
