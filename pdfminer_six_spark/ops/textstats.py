@@ -362,3 +362,76 @@ def fingerprint_candidates(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear quality classifier over hashed token features — the
+    fasttext-style learned-filter stage of a corpus build (tokenize ->
+    per-token weight lookup -> mean -> verdict), with the weight table
+    standing in for a trained model.
+
+    Two paths, same output columns (``n_tokens``, ``clf_score`` — the
+    mean token weight rounded to 6 — and ``clf_keep``):
+
+    * ``weights=None`` (default, the ORACLED path): the weight of a token
+      is derived from its md5 — ``int(md5(tok)[:8], 16) / 2^32 - 0.5``,
+      uniform in [-0.5, 0.5).  A deterministic stand-in for learned
+      weights (same sanctioned-fake discipline as the multimodal stub):
+      every arithmetic step is exact in float64 and the fold runs in
+      document token order, so Spark and DuckDB produce bit-identical
+      scores.  Scan-local projection — zero shuffles, no Python.
+
+    * ``weights`` given as a ``(token, weight)`` relation (the PRODUCTION
+      path for a real trained model): explode tokens, broadcast-join the
+      vocabulary (OOV weight 0), map-side-combinable per-doc sum.  One
+      shuffle on ``id_col``; the vocab broadcasts (fasttext vocabularies
+      are MBs).  Join-order summation is not bit-deterministic, hence the
+      shared 6-decimal rounding on the emitted score.
+
+    ``clf_keep`` compares the UNROUNDED mean to 0 (never a rounded value
+    on a boundary); empty docs score 0.0 and are dropped.
+    """
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    if weights is None:
+        w = lambda t: (  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("double")
+            / F.lit(float(2**32))
+            - 0.5
+        )
+        w_sum = F.aggregate(
+            F.transform(toks, w), F.lit(0.0), lambda acc, x: acc + x
+        )
+        avg = F.when(n > 0, w_sum / n).otherwise(F.lit(0.0))
+        return df.withColumns(
+            {
+                "n_tokens": n,
+                "clf_score": F.round(avg, 6),
+                "clf_keep": (n > 0) & (avg > 0),
+            }
+        )
+    exploded = df.select(
+        id_col, F.explode_outer(toks).alias("token")
+    ).join(F.broadcast(weights), "token", "left")
+    scored = exploded.groupBy(id_col).agg(
+        F.count("token").alias("n_tokens"),
+        F.sum(F.coalesce("weight", F.lit(0.0))).alias("_wsum"),
+    )
+    avg = F.when(
+        F.col("n_tokens") > 0, F.col("_wsum") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return (
+        df.join(scored, id_col)
+        .withColumns(
+            {
+                "clf_score": F.round(avg, 6),
+                "clf_keep": (F.col("n_tokens") > 0) & (avg > 0),
+            }
+        )
+        .drop("_wsum")
+    )

@@ -1556,3 +1556,55 @@ def test_chunk_documents_windows_and_offsets(spark):
     assert all(
         r["n_chunk_tokens"] == r["end_tok"] - r["start_tok"] for r in rows
     )
+
+
+def test_quality_classifier_paths_agree(spark):
+    """The broadcast-vocabulary production path must reproduce the
+    hash-weight path when the vocab carries exactly the hash-derived
+    weights for every corpus token (OOV-free corpus): same verdicts, same
+    scores to the shared 6-decimal rounding."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import quality_classifier
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox JUMPS  over",
+                "lorem ipsum dolor",
+                "   ",
+            ],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    vocab = sorted(
+        {t for s in docs.text for t in s.lower().split() if t}
+    )
+    wrows = [
+        (t, int(hashlib.md5(t.encode()).hexdigest()[:8], 16) / 2**32 - 0.5)
+        for t in vocab
+    ]
+    weights = spark.createDataFrame(wrows, "token string, weight double")
+    hash_path = {
+        r["doc_id"]: r
+        for r in quality_classifier(df).select(
+            "doc_id", "n_tokens", "clf_score", "clf_keep"
+        ).collect()
+    }
+    vocab_path = {
+        r["doc_id"]: r
+        for r in quality_classifier(df, weights=weights).select(
+            "doc_id", "n_tokens", "clf_score", "clf_keep"
+        ).collect()
+    }
+    assert set(hash_path) == set(vocab_path) == {1, 2, 3}
+    for d in (1, 2):
+        assert hash_path[d]["n_tokens"] == vocab_path[d]["n_tokens"] > 0
+        assert hash_path[d]["clf_keep"] == vocab_path[d]["clf_keep"]
+        assert abs(hash_path[d]["clf_score"] - vocab_path[d]["clf_score"]) < 2e-6
+    # empty doc: scores 0, dropped, present in both paths
+    assert hash_path[3]["clf_score"] == 0.0 and not hash_path[3]["clf_keep"]
+    assert vocab_path[3]["n_tokens"] == 0 and not vocab_path[3]["clf_keep"]

@@ -353,7 +353,7 @@ def test_registry_order_contract():
         "embedding_near_dups",
         "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
         "corpus_mix", "pack_sequences", "semdedup_verify",
-        "chunk_documents",
+        "chunk_documents", "text_quality_classifier",
     ]
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
