@@ -97,8 +97,10 @@ def main() -> None:
         "text_token_stats",
         "ann_topk_cosine",
         "embedding_near_dups_blocked",
-        # round-4 addition
+        # round-4 additions
         "dedup_substring_spans",
+        "ngram_lm_score",
+        "bm25_search",
     ]
     for _ in range(repeats):
         for name in suite:

@@ -435,3 +435,57 @@ def quality_classifier(
         )
         .drop("_wsum")
     )
+
+
+def vocab_oov(
+    df: DataFrame,
+    v: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-vocabulary induction + per-document OOV rate.
+
+    The vocabulary is the top-``v`` tokens by corpus frequency
+    (deterministic boundary: count desc, then token asc) — the planning
+    number a tokenizer build needs ("what does a v-entry vocab cover?").
+    Emits per document: ``n_tokens``, ``n_oov`` (occurrences outside the
+    vocab) and ``oov_rate`` (rounded to the shared 6 decimals).
+    Token-less documents have no defined rate and drop out (the explode
+    is inner, same contract as ngram_lm_scores).
+
+    Scale shape: one (token) count aggregation with map-side partials;
+    the top-v cut is ``orderBy().limit()`` which compiles to
+    TakeOrderedAndProject (distributed partial top-k, never a single-task
+    global sort); the vocab — v rows — broadcasts back onto the exploded
+    corpus, so the corpus shuffles only once, on ``id_col``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens_col(normalized_text(F.col(text_col)))).alias(
+            "token"
+        ),
+    )
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        tf.orderBy(F.col("c").desc(), "token")
+        .limit(v)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.round(
+            F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+        ).alias("oov_rate"),
+    )

@@ -1608,3 +1608,157 @@ def test_quality_classifier_paths_agree(spark):
     # empty doc: scores 0, dropped, present in both paths
     assert hash_path[3]["clf_score"] == 0.0 and not hash_path[3]["clf_keep"]
     assert vocab_path[3]["n_tokens"] == 0 and not vocab_path[3]["clf_keep"]
+
+
+def test_ngram_lm_scores_matches_reference(spark):
+    """ops.retrieval.ngram_lm_scores reproduces a pure-Python add-one
+    bigram LM: train slice is doc_id%10<8, scores cover held-out docs,
+    <2-token docs drop."""
+    from collections import Counter
+
+    from pdfminer_six_spark.ops.retrieval import ngram_lm_scores
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat ran",
+        7: "the dog sat",          # train slice too
+        8: "the cat sat",          # held out
+        9: "unseen words entirely",  # held out, all-OOV bigrams
+        18: "one",                 # 1 token -> no bigrams -> dropped
+        19: "   ",                 # empty -> dropped
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+
+    def toks(s):
+        return [t for t in s.lower().split() if t]
+
+    def bigrams(s):
+        t = toks(s)
+        return list(zip(t, t[1:]))
+
+    cb, cu, vocab = Counter(), Counter(), set()
+    for d, s in texts.items():
+        if d % 10 < 8:
+            for w1, w2 in bigrams(s):
+                cb[(w1, w2)] += 1
+                cu[w1] += 1
+                vocab.update((w1, w2))
+    v = len(vocab)
+
+    expected = {}
+    for d, s in texts.items():
+        bg = bigrams(s)
+        if not bg:
+            continue
+        nll = -sum(
+            math.log(cb[(w1, w2)] + 1.0) - math.log(cu[w1] + float(v))
+            for w1, w2 in bg
+        ) / len(bg)
+        expected[d] = (len(bg), round(nll, 6), round(math.exp(nll), 6))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in ngram_lm_scores(df).collect()
+    }
+    assert set(got) == set(expected)  # 18 and 19 dropped
+    for d in expected:
+        assert got[d][0] == expected[d][0]
+        assert abs(got[d][1] - expected[d][1]) < 2e-6, (d, got[d], expected[d])
+        assert abs(got[d][2] - expected[d][2]) < 2e-5, (d, got[d], expected[d])
+    # held-out all-OOV doc must score strictly worse than an in-vocab doc
+    assert got[9][1] > got[8][1]
+
+
+def test_bm25_topk_matches_reference(spark):
+    """ops.retrieval.bm25_topk reproduces pure-Python Okapi BM25
+    (k1=1.2, b=0.75) including rank order and the k cut."""
+    from pdfminer_six_spark.ops.retrieval import bm25_topk
+
+    texts = {
+        1: "hash join hash scan",
+        2: "scan scan scan",
+        3: "dup merge",
+        4: "vector stream filter vector",
+        5: "the table",
+    }
+    qterms = [(1, "hash"), (1, "join"), (2, "dup"), (2, "scan")]
+    corpus = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(qterms, "query_id long, term string")
+
+    toks = {d: s.split() for d, s in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = 1.2, 0.75
+
+    def dfq(term):
+        return sum(1 for t in toks.values() if term in t)
+
+    expected = {}
+    for qid in {q for q, _ in qterms}:
+        scores = {}
+        for d, t in toks.items():
+            s = 0.0
+            for q, term in qterms:
+                if q != qid or term not in t:
+                    continue
+                tf = t.count(term)
+                idf = math.log(1.0 + (n - dfq(term) + 0.5) / (dfq(term) + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if s > 0:
+                scores[d] = round(s, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        expected[qid] = [(d, sc, i + 1) for i, (d, sc) in enumerate(ranked)]
+
+    got = {}
+    for r in bm25_topk(corpus, queries, k=2).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rank"])
+        )
+    for qid in got:
+        got[qid].sort(key=lambda x: x[2])
+    assert set(got) == set(expected)
+    for qid in expected:
+        assert len(got[qid]) == len(expected[qid])
+        for (gd, gs, gr), (ed, es, er) in zip(got[qid], expected[qid]):
+            assert (gd, gr) == (ed, er)
+            assert abs(gs - es) < 2e-6
+
+
+def test_vocab_oov_matches_reference(spark):
+    """ops.textstats.vocab_oov: top-v vocab with count-desc/token-asc
+    boundary tiebreak; per-doc OOV occurrence counts; token-less docs
+    drop."""
+    from collections import Counter
+
+    from pdfminer_six_spark.ops.textstats import vocab_oov
+
+    texts = {
+        1: "a a a b b c d",
+        2: "b c c e",
+        3: "E e  A",   # normalization: lowercased
+        4: "   ",      # token-less -> dropped
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    toks = {d: s.lower().split() for d, s in texts.items()}
+    cnt = Counter(t for ts in toks.values() for t in ts)
+    # v=3: counts a=4 b=3 c=3 e=3 d=1 -> boundary tie among b/c/e broken
+    # by token asc -> vocab = {a, b, c}
+    vocab = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3]}
+    assert vocab == {"a", "b", "c"}
+    expected = {}
+    for d, ts in toks.items():
+        if not ts:
+            continue
+        oov = sum(1 for t in ts if t not in vocab)
+        expected[d] = (len(ts), oov, round(oov / len(ts), 6))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_oov(df, v=3).collect()
+    }
+    assert got == expected

@@ -256,6 +256,10 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         # centers for assignment; the dedup pair scan is an equi-join on
         # cell id (asserted by test_semdedup_pair_scan_is_equi_join)
         "semdedup_kmeans",  # corpus × k broadcast KMeans centers
+        "ngram_lm_score",  # 1-row vocab-size broadcast (TF-IDF pattern);
+        # both model-count joins are equi-joins on the bigram words
+        "bm25_search",  # 1-row (n_docs, avgdl) stats broadcast; postings
+        # are pruned by the broadcast query-term equi-join first
     }
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():

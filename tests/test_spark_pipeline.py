@@ -343,17 +343,20 @@ def test_registry_order_contract():
         "dedup_exact", "dedup_substring_spans", "dedup_span_excise",
         "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_verify", "dedup_clusters",
-        "dedup_clusters_star", "dedup_decontaminate",
+        "dedup_decontaminate",
         "deterministic_split", "group_sample",
         "text_token_stats", "text_fingerprint", "text_language_id",
         "text_tfidf_top_terms", "text_top_terms_sketch", "text_quality",
         "text_gopher_rules",
         "text_length_quantiles", "ann_topk_cosine", "ann_lsh_topk",
         "ann_lsh_verify", "ann_ivf_topk", "ann_ivf_verify",
-        "embedding_near_dups",
         "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
         "corpus_mix", "pack_sequences", "semdedup_verify",
         "chunk_documents", "text_quality_classifier",
+        # late-r04: dedup_clusters_star / embedding_near_dups ceded their
+        # slots to the two new retrieval ops (each shares its oracle SQL
+        # with an in-window sibling and stays pytest-pinned equal to it)
+        "ngram_lm_score", "bm25_search",
     ]
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
