@@ -68,16 +68,31 @@ def shingles(
     sane corpus — jobs/dedup.py states it as an input requirement).
     Pass False for relations where a doc_id can repeat; that reinstates
     the exploded-relation distinct at full shuffle cost."""
+    # n-gram construction: zip_with over n shifted slices of a PROJECTED
+    # token column — deliberately NOT transform(sequence, i ->
+    # slice(toks, i+1, n)) over the raw tokenization expression: a lambda
+    # that references the unprojected `toks` re-evaluates the whole
+    # regexp split per ELEMENT (O(tokens^2 * len) per row), while the
+    # zip_with form evaluates each slice once per ROW.  Interleaved
+    # best-of A/B at sf0.1, identical output both ways (exceptAll 0/0):
+    # the shingle base aggregate dropped 8.2 -> 1.1 s.
     toks = tokens_col(normalized_text(F.col(text_col)))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    base = df.select("doc_id", toks.alias("_toks"))
+    t = F.col("_toks")
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    arrs = [F.slice(t, i + 1, m) for i in range(n)]
+    grams_zip = arrs[0]
+    for arr in arrs[1:]:
+        grams_zip = F.zip_with(
+            grams_zip, arr, lambda a, b: F.concat_ws(" ", a, b)
+        )
+    grams = F.when(F.size(t) >= n, grams_zip).otherwise(
+        F.array(F.concat_ws(" ", t))
+    )
     out = (
-        df.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        base.select(
+            "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+        )
         .filter(F.col("shingle") != "")
     )
     if not assume_unique_ids:

@@ -137,11 +137,18 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     scan speed and the filter predicate pushes into the next stage."""
     toks = tokens_col(normalized_text(F.col(text_col)))
     n = F.size(toks)
+    # 2-grams via zip_with of shifted slices, NOT transform(sequence,
+    # i -> slice(toks, ...)): a lambda referencing the unprojected
+    # tokenization re-runs the regexp split per element (the same
+    # pathology measured 8x on dedup.shingles); zip_with evaluates each
+    # slice once per row
+    n1 = F.greatest(n - 1, F.lit(0))
     grams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        F.zip_with(
+            F.slice(toks, 1, n1),
+            F.slice(toks, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     dup_ratio = F.when(
