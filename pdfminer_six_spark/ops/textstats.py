@@ -496,3 +496,49 @@ def vocab_oov(
             F.col("n_oov").cast("double") / F.col("n_tokens"), 6
         ).alias("oov_rate"),
     )
+
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus card: doc/token counts, corpus-wide exact-dup
+    membership, Gopher keep-rate and majority language, one row per
+    ``source``.  A composition of three scan-local projections
+    (language_id, gopher_quality_rules, fingerprint) + one fp window (the
+    only extra shuffle) + one source aggregate — the whole report is ONE
+    lazy plan over ONE corpus scan.  keep_rate is an integer-sum ratio
+    (order-independent)."""
+    from pyspark.sql import Window
+
+    enriched = fingerprint(
+        gopher_quality_rules(language_id(df, text_col), text_col), text_col
+    )
+    is_dup = (
+        F.count(F.lit(1)).over(Window.partitionBy("fp")) > 1
+    ).cast("int")
+    per_doc = enriched.select(
+        "source",
+        "pred_lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("keep").cast("int").alias("keep_i"),
+        is_dup.alias("is_dup"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("is_dup").cast("long").alias("dup_docs"),
+        F.round(
+            F.sum("keep_i").cast("double") / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+    )
+    lang_rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("c").desc(), F.col("pred_lang")
+        )
+    )
+    top_lang = (
+        per_doc.groupBy("source", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", lang_rn)
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("pred_lang").alias("top_lang"))
+    )
+    return per_source.join(top_lang, "source")

@@ -2915,6 +2915,81 @@ WHERE rn <= 5
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus card (the summary a corpus build publishes):
+    doc/token counts, corpus-wide exact-dup membership, Gopher keep-rate
+    and majority language, one row per source.  A composition of four
+    scan-local operators (language_id, gopher_quality_rules, fingerprint
+    are all projections) + one fp window (the only extra shuffle) + one
+    source aggregate — the whole report is ONE lazy plan over ONE corpus
+    scan.  keep_rate is an integer-sum ratio (order-independent; the
+    ROUND can't hit a cross-engine tie on a .xxxx5 boundary any harder
+    than the shared 6-decimal float canonicalization already allows)."""
+    return textstats.corpus_report(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_report_sql() -> str:
+    # langid per doc reuses the exact scoring CASE from _lang_sql()
+    # rename in the FINAL projection (the argmax select starts
+    # "SELECT doc_id, CASE"), not the tokenizing CTE's "SELECT doc_id,"
+    lang_inner = _lang_sql().replace(
+        "SELECT doc_id, CASE", "SELECT doc_id AS ld, CASE", 1
+    )
+    return f"""
+WITH lang AS ({lang_inner}),
+toks AS (
+  SELECT doc_id, source, text,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, source,
+         len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2 THEN
+           1.0 - len(list_distinct([array_to_string(t[i+1:i+2], ' ')
+                                    FOR i IN RANGE(0, len(t) - 1)]))
+                 * 1.0 / (len(t) - 1)
+         ELSE 0.0 END AS dup_2gram_ratio,
+         CASE WHEN len(t) > 0 THEN
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+             * 1.0 / len(t)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0 THEN
+           length(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g'))
+             * 1.0 / length(text)
+         ELSE 0.0 END AS symbol_ratio,
+         MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+  FROM toks),
+per_doc AS (
+  SELECT f.source, l.pred_lang,
+         f.n_tokens,
+         CASE WHEN f.n_tokens >= 5 AND f.n_tokens <= 1000
+               AND f.dup_2gram_ratio < 0.4
+               AND f.mean_word_len >= 2.0 AND f.mean_word_len <= 12.0
+               AND f.symbol_ratio < 0.1 THEN 1 ELSE 0 END AS keep_i,
+         CASE WHEN COUNT(*) OVER (PARTITION BY f.fp) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM feats f JOIN lang l ON f.doc_id = l.ld),
+per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+         ROUND(SUM(keep_i) * 1.0 / COUNT(*), 6) AS keep_rate
+  FROM per_doc GROUP BY 1),
+lang_counts AS (
+  SELECT source, pred_lang, COUNT(*) AS c FROM per_doc GROUP BY 1, 2),
+top_lang AS (
+  SELECT source, pred_lang AS top_lang
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY source ORDER BY c DESC, pred_lang) AS rn
+        FROM lang_counts)
+  WHERE rn = 1)
+SELECT s.source, s.n_docs, s.n_tokens, s.dup_docs, s.keep_rate, t.top_lang
+FROM per_source s JOIN top_lang t USING (source)
+"""
+
+
 # Ordering contract: the round driver evaluates only the FIRST 50 registry
 # entries, in dict order (observed in CORRECTNESS_r02).  The flagship
 # extraction queries and every LLM-data-pipeline operator therefore occupy
@@ -3013,6 +3088,7 @@ QUERIES: Dict[str, QuerySpec] = {
     # rotation should bring it in first): tokenizer-vocab induction +
     # per-doc OOV rate — 3-SF-gated locally via scripts/check_oracles.py
     "vocab_oov": (q_vocab_oov, _SQL_VOCAB_OOV),
+    "corpus_report": (q_corpus_report, _corpus_report_sql()),
     # oracle-sharing variants moved out of the window late-r04 (see the
     # retrieval section comment above): still fully oracled, still
     # pytest-pinned equal to their in-window siblings

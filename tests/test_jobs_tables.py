@@ -315,3 +315,65 @@ def test_resume_after_simulated_crash_recovers_exactly(spark):
     got = out.select(cols)
     assert clean.exceptAll(got).count() == 0
     assert got.exceptAll(clean).count() == 0
+
+
+def test_score_job_end_to_end(spark, tmp_path):
+    """jobs/score.py: per-doc quality signals + combined keep verdict;
+    --lm-scores joins bigram-LM columns (NULL for <2-token docs);
+    --keep-only writes only survivors; --report-output emits the
+    per-source corpus card."""
+    import importlib.util, os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "jobs_score",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", "score.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    good = ("the cat and the dog sat with it for now and then some more "
+            "words to pass every gopher band easily")
+    src = pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": [good, good + " again", "x", "!!! ??? ***"],
+            "source": ["a", "a", "b", "b"],
+        }
+    )
+    inp = tmp_path / "score_in.parquet"
+    src.to_parquet(inp)
+    out = tmp_path / "score_out"
+    rep = tmp_path / "score_report"
+    args = job.build_args([
+        "--input", str(inp),
+        "--output", str(out),
+        "--report-output", str(rep),
+        "--lm-scores",
+    ])
+    stats = job.run(spark, args)
+    assert stats["n_docs"] == 4
+    rows = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    # the two long docs pass gopher; the verdict column combines clf_keep
+    for d in (0, 1):
+        assert rows[d]["keep"] is True
+        assert rows[d]["keep_doc"] == (rows[d]["keep"] and rows[d]["clf_keep"])
+        assert rows[d]["avg_nll"] is not None and rows[d]["ppl"] > 0
+    assert rows[2]["keep"] is False          # 1 token: fails token floor
+    assert rows[2]["avg_nll"] is None        # no bigrams -> NULL LM score
+    assert rows[3]["keep"] is False          # symbol ratio
+    report = {r["source"]: r for r in spark.read.parquet(str(rep)).collect()}
+    assert report["a"]["n_docs"] == 2 and report["b"]["n_docs"] == 2
+    assert report["a"]["keep_rate"] > 0 and report["b"]["keep_rate"] == 0.0
+
+    # --keep-only writes exactly the survivors
+    out2 = tmp_path / "score_keep_only"
+    args2 = job.build_args([
+        "--input", str(inp), "--output", str(out2), "--keep-only",
+    ])
+    stats2 = job.run(spark, args2)
+    kept = spark.read.parquet(str(out2)).count()
+    assert stats2["n_docs"] == stats2["n_keep"] == kept
+    assert kept == int(stats["n_keep"])

@@ -1762,3 +1762,33 @@ def test_vocab_oov_matches_reference(spark):
         for r in vocab_oov(df, v=3).collect()
     }
     assert got == expected
+
+
+def test_corpus_report_aggregates(spark):
+    """q_corpus_report composition: per-source doc/token counts,
+    corpus-wide dup membership, Gopher keep-rate, majority language."""
+    import pandas as pd
+
+    from pdfminer_six_spark.queries import q_corpus_report
+
+    keep_en = "the cat and the dog sat with it for now"   # 10 toks, keeps
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [keep_en, keep_en, "x", "le la et les des est pour ok"],
+            "lang": ["en"] * 4,
+            "source": ["a", "a", "a", "b"],
+            "n_chars": [0] * 4,
+        }
+    )
+    path = "/tmp/corpus_report_test"
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        path + "/documents.parquet"
+    )
+    rows = {r["source"]: r for r in q_corpus_report(spark, path).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a["n_docs"], a["n_tokens"]) == (3, 21)
+    assert a["dup_docs"] == 2          # docs 1+2 share a fingerprint
+    assert abs(a["keep_rate"] - round(2 / 3, 6)) < 1e-9  # "x" fails gopher
+    assert a["top_lang"] == "en"
+    assert (b["n_docs"], b["dup_docs"], b["top_lang"]) == (1, 0, "fr")
