@@ -505,9 +505,12 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     (language_id, gopher_quality_rules, fingerprint) + one fp window (the
     only extra shuffle) + one source aggregate — the whole report is ONE
     lazy plan over ONE corpus scan.  keep_rate is an integer-sum ratio
-    (order-independent)."""
+    (order-independent).  NULL text is treated as the empty string (the
+    clean.py convention): such rows count toward n_docs, fail every keep
+    band, and share one fingerprint."""
     from pyspark.sql import Window
 
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     enriched = fingerprint(
         gopher_quality_rules(language_id(df, text_col), text_col), text_col
     )

@@ -2932,13 +2932,20 @@ def _corpus_report_sql() -> str:
     # langid per doc reuses the exact scoring CASE from _lang_sql()
     # rename in the FINAL projection (the argmax select starts
     # "SELECT doc_id, CASE"), not the tokenizing CTE's "SELECT doc_id,"
-    lang_inner = _lang_sql().replace(
-        "SELECT doc_id, CASE", "SELECT doc_id AS ld, CASE", 1
+    # — and NULL-coalesce text to '' everywhere, mirroring the Spark
+    # side's clean.py convention (corpus_report coalesces before langid)
+    lang_inner = (
+        _lang_sql()
+        .replace("SELECT doc_id, CASE", "SELECT doc_id AS ld, CASE", 1)
+        .replace(
+            "regexp_split_to_array(text,",
+            "regexp_split_to_array(COALESCE(text, ''),",
+        )
     )
     return f"""
 WITH lang AS ({lang_inner}),
 toks AS (
-  SELECT doc_id, source, text,
+  SELECT doc_id, source, COALESCE(text, '') AS text,
          list_filter(regexp_split_to_array(
            LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
            x -> x <> '') AS t

@@ -1792,3 +1792,48 @@ def test_corpus_report_aggregates(spark):
     assert abs(a["keep_rate"] - round(2 / 3, 6)) < 1e-9  # "x" fails gopher
     assert a["top_lang"] == "en"
     assert (b["n_docs"], b["dup_docs"], b["top_lang"]) == (1, 0, "fr")
+
+
+def test_corpus_report_null_text_oracle_differential(spark, tmp_path):
+    """corpus_report vs its DuckDB oracle on a corpus WITH null/empty
+    text rows (the sf tables have none): NULL coalesces to '' on both
+    engines — such docs count toward n_docs, fail every keep band, and
+    share one fingerprint."""
+    import duckdb
+    import pandas as pd
+
+    from pdfminer_six_spark.queries import _corpus_report_sql, q_corpus_report
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "the cat and the dog sat with it for now",
+                None, "", "le la et les des est pour ok", None,
+            ],
+            "lang": ["en"] * 5,
+            "source": ["a", "a", "b", "b", "a"],
+            "n_chars": [0] * 5,
+        }
+    )
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet")
+    sp = (
+        q_corpus_report(spark, d)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    du = (
+        con.execute(_corpus_report_sql())
+        .fetchdf()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert sp.astype(str).equals(du[sp.columns].astype(str))
+    a = sp[sp.source == "a"].iloc[0]
+    assert (a.n_docs, a.dup_docs) == (3, 2)  # two NULL docs share md5('')
