@@ -327,3 +327,102 @@ def test_duplicate_spans_equal_python_model_random(spark, seed, k):
         for r in remove_duplicate_spans(df, k=k).collect()
     }
     assert got_clean == want_clean
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_bm25_invariants_random(spark, seed):
+    """BM25 invariants on random corpora: ranks are 1..<=k per query with
+    scores non-increasing, every hit contains >=1 query term, and scores
+    equal an independent pure-Python BM25."""
+    from pdfminer_six_spark.ops.retrieval import bm25_topk
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for d in range(1, 41)
+    }
+    qterms = [(1, "alpha"), (1, "zeta"), (2, "gamma")]
+    corpus = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(qterms, "query_id long, term string")
+    got = bm25_topk(corpus, queries, k=7).collect()
+
+    toks = {d: t.split() for d, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(map(len, toks.values())) / n
+    k1, b = 1.2, 0.75
+
+    def score(qid, d):
+        s = 0.0
+        for q, term in qterms:
+            if q != qid or term not in toks[d]:
+                continue
+            dfq = sum(1 for t in toks.values() if term in t)
+            idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+            tf = toks[d].count(term)
+            s += idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(toks[d]) / avgdl)
+            )
+        return s
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert any(
+            term in toks[r["doc_id"]]
+            for q, term in qterms if q == r["query_id"]
+        )
+        assert abs(r["score"] - round(score(r["query_id"], r["doc_id"]), 6)) < 2e-6
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i]["score"] >= rows[i + 1]["score"]
+            for i in range(len(rows) - 1)
+        )
+        assert len(rows) <= 7
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_ngram_lm_random_matches_python(spark, seed):
+    """Random-corpus differential for the bigram LM: Spark avg_nll equals
+    an independent pure-Python model (incl. train/held-out split and
+    add-one smoothing on unseen bigrams/prefixes)."""
+    from collections import Counter
+
+    from pdfminer_six_spark.ops.retrieval import ngram_lm_scores
+
+    rng = random.Random(seed)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))
+        for d in range(40)
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    cb, cu, vs = Counter(), Counter(), set()
+    for d, s in texts.items():
+        t = s.split()
+        if d % 10 < 8:
+            for w1, w2 in zip(t, t[1:]):
+                cb[(w1, w2)] += 1
+                cu[w1] += 1
+                vs.update((w1, w2))
+    expected = {}
+    for d, s in texts.items():
+        t = s.split()
+        bg = list(zip(t, t[1:]))
+        if not bg:
+            continue
+        nll = -sum(
+            math.log(cb[p] + 1.0) - math.log(cu[p[0]] + float(len(vs)))
+            for p in bg
+        ) / len(bg)
+        expected[d] = round(nll, 6)
+    got = {r["doc_id"]: r["avg_nll"] for r in ngram_lm_scores(df).collect()}
+    assert set(got) == set(expected)
+    for d in expected:
+        assert abs(got[d] - expected[d]) < 2e-6
