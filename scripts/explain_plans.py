@@ -38,6 +38,11 @@ def main() -> None:
         "pii_redact",
         "paragraph_dedup",
         "corpus_mix",
+        # late-r04 retrieval / LM / report additions
+        "ngram_lm_score",
+        "bm25_search",
+        "vocab_oov",
+        "corpus_report",
     ]
     for name in names:
         fn, _ = QUERIES[name]
