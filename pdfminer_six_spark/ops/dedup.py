@@ -344,6 +344,65 @@ def contamination_pairs(
     )
 
 
+def contamination_rates(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-eval-document contamination RATE — the reporting side of the
+    decontamination scan (GPT-3/PaLM-style: an eval example is flagged
+    when at least ``threshold`` of its distinct word n-grams appear
+    anywhere in the training corpus).
+
+    Returns (eval_doc, n_grams, n_hit, rate, contaminated) where
+    ``n_grams`` counts the eval doc's distinct shingles, ``n_hit`` those
+    also present in train, ``rate = n_hit/n_grams`` rounded to the shared
+    6 decimals, and ``contaminated = n_hit>0 AND rate >= threshold``
+    (compared on the unrounded ratio of integers — no boundary ties).
+
+    Shape at scale: identical to contamination_pairs — both sides
+    shingle locally, the tiny eval side broadcasts, the train corpus is
+    never shuffled; the only aggregations are over hit rows (bounded by
+    eval size × train df) and the eval gram totals.  Eval docs whose text
+    yields no non-empty shingle (empty/NULL text) have no defined rate
+    and drop out.
+
+    Input contract: doc_id unique per row on BOTH sides, as for
+    contamination_pairs."""
+    tr = shingles(train, text_col, n).select(
+        F.xxhash64("shingle").alias("shingle")
+    )
+    ev = shingles(eval_df, text_col, n).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.xxhash64("shingle").alias("shingle"),
+    )
+    totals = ev.groupBy("eval_doc").agg(
+        F.count(F.lit(1)).alias("n_grams")  # shingles() is distinct per doc
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .select("eval_doc", "shingle")
+        .distinct()
+        .groupBy("eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    joined = totals.join(hits, "eval_doc", "left").select(
+        "eval_doc",
+        "n_grams",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+    ratio = F.col("n_hit").cast("double") / F.col("n_grams")
+    return joined.select(
+        "eval_doc",
+        "n_grams",
+        "n_hit",
+        F.round(ratio, 6).alias("rate"),
+        ((F.col("n_hit") > 0) & (ratio >= threshold)).alias("contaminated"),
+    )
+
+
 def _checkpointer(df_like: DataFrame, reliable: bool):
     """Pick the per-round lineage cut for the iterative cluster loops.
 

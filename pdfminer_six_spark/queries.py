@@ -1755,6 +1755,48 @@ GROUP BY 1, 2
 """
 
 
+def q_decontaminate_rate(spark, sf_dir):
+    """Per-eval-doc contamination rate (ops.dedup.contamination_rates):
+    the reporting/verdict side of the decontamination scan — fraction of
+    each held-out doc's distinct 5-grams present anywhere in the
+    training slice, flagged at >=50%.  Same broadcast shape as the pair
+    scan: the training corpus never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return dedup.contamination_rates(train, evals, n=5, threshold=0.5)
+
+
+_SQL_DECONTAMINATE_RATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(CASE WHEN len(t) >= 5
+                  THEN [array_to_string(t[i+1:i+5], ' ')
+                        FOR i IN RANGE(0, len(t) - 4)]
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks) WHERE shingle <> ''),
+ev AS (SELECT doc_id AS eval_doc, shingle FROM sh WHERE doc_id % 25 = 0),
+tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 25 <> 0),
+totals AS (SELECT eval_doc, COUNT(*) AS n_grams FROM ev GROUP BY 1),
+hits AS (
+  SELECT eval_doc, COUNT(*) AS n_hit
+  FROM ev JOIN tr USING (shingle) GROUP BY 1)
+SELECT t.eval_doc, t.n_grams,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h.n_hit, 0) * 1.0 / t.n_grams, 6) AS rate,
+       (COALESCE(h.n_hit, 0) > 0
+        AND COALESCE(h.n_hit, 0) * 1.0 / t.n_grams >= 0.5) AS contaminated
+FROM totals t LEFT JOIN hits h USING (eval_doc)
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the full scale-path chain — LSH banding
     candidates, exact-Jaccard verification of candidates only, then
@@ -3096,6 +3138,7 @@ QUERIES: Dict[str, QuerySpec] = {
     # per-doc OOV rate — 3-SF-gated locally via scripts/check_oracles.py
     "vocab_oov": (q_vocab_oov, _SQL_VOCAB_OOV),
     "corpus_report": (q_corpus_report, _corpus_report_sql()),
+    "decontaminate_rate": (q_decontaminate_rate, _SQL_DECONTAMINATE_RATE),
     # oracle-sharing variants moved out of the window late-r04 (see the
     # retrieval section comment above): still fully oracled, still
     # pytest-pinned equal to their in-window siblings

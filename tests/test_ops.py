@@ -1837,3 +1837,35 @@ def test_corpus_report_null_text_oracle_differential(spark, tmp_path):
     assert sp.astype(str).equals(du[sp.columns].astype(str))
     a = sp[sp.source == "a"].iloc[0]
     assert (a.n_docs, a.dup_docs) == (3, 2)  # two NULL docs share md5('')
+
+
+def test_contamination_rates_matches_reference(spark):
+    """ops.dedup.contamination_rates: per-eval-doc distinct-5-gram hit
+    fraction vs a pure-Python model; zero-hit docs emit rate 0.0 and
+    contaminated=False."""
+    from pdfminer_six_spark.ops.dedup import contamination_rates
+
+    train_texts = {
+        1: "a b c d e f g",           # grams: abcde bcdef cdefg
+        2: "q r s t u",
+    }
+    eval_texts = {
+        100: "a b c d e x y z w",     # 5 grams, 1 hit (abcde) -> 0.2
+        101: "q r s t u",             # 1 gram, 1 hit -> 1.0
+        102: "zz yy xx ww vv",        # 1 gram, 0 hits -> 0.0
+    }
+    train = spark.createDataFrame(
+        list(train_texts.items()), "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        list(eval_texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["eval_doc"]: (r["n_grams"], r["n_hit"], r["rate"], r["contaminated"])
+        for r in contamination_rates(train, evals, n=5, threshold=0.5).collect()
+    }
+    assert got == {
+        100: (5, 1, 0.2, False),
+        101: (1, 1, 1.0, True),
+        102: (1, 0, 0.0, False),
+    }
