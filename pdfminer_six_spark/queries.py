@@ -3116,8 +3116,13 @@ QUERIES: Dict[str, QuerySpec] = {
     "pricing_summary": (q_pricing_summary, _SQL_PRICING),
     "join_revenue_by_nation": (q_join_revenue_by_nation, _SQL_JOIN_REVENUE),
     "asof_join_last_order": (q_asof_join, _SQL_ASOF),
-    "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
-    "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
+    # late-r04: session_window_agg / window_range_frame ceded their slots
+    # to the two newest first-class corpus ops (both r03-driver-green and
+    # pytest-covered; the window-function family stays pinned by
+    # window_topn/analytics r02 rows + pytest).  r05 rotation should
+    # bring them back through the rotating slots.
+    "vocab_oov": (q_vocab_oov, _SQL_VOCAB_OOV),
+    "corpus_report": (q_corpus_report, _corpus_report_sql()),
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),
     # fully-oracled composed cleaning pipeline (redact -> span excision
     # -> Gopher verdict, one lazy plan) — takes the 5th rotating slot so
@@ -3136,9 +3141,9 @@ QUERIES: Dict[str, QuerySpec] = {
     # fully-oracled late-r04 addition waiting on a window slot (r05
     # rotation should bring it in first): tokenizer-vocab induction +
     # per-doc OOV rate — 3-SF-gated locally via scripts/check_oracles.py
-    "vocab_oov": (q_vocab_oov, _SQL_VOCAB_OOV),
-    "corpus_report": (q_corpus_report, _corpus_report_sql()),
     "decontaminate_rate": (q_decontaminate_rate, _SQL_DECONTAMINATE_RATE),
+    "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
+    "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     # oracle-sharing variants moved out of the window late-r04 (see the
     # retrieval section comment above): still fully oracled, still
     # pytest-pinned equal to their in-window siblings

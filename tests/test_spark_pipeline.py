@@ -358,6 +358,11 @@ def test_registry_order_contract():
         # with an in-window sibling and stays pytest-pinned equal to it)
         "ngram_lm_score", "bm25_search",
     ]
+    # the two newest corpus ops hold ex-rep slots near the window tail
+    # (ceded by session_window_agg / window_range_frame, both r03-green):
+    # inside the 50-entry window but allowed past 45, like clean_pipeline
+    for q in ("vocab_oov", "corpus_report"):
+        assert order.index(q) < 50, q
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
     assert not late, f"first-class queries past the driver window: {late}"
