@@ -153,7 +153,11 @@ def bm25_topk(
     per query (the caller's contract); it is broadcast, so the expensive
     side — the ``(doc, term, tf)`` posting relation — is immediately
     semi-restricted to query terms and everything downstream is
-    proportional to the matched posting lists.
+    proportional to the matched posting lists.  The one corpus-sized
+    relation that does join after the restriction is ``dl`` (document
+    length): one row of two longs per document, so that equi-join
+    shuffles id+length pairs, never text — and AQE broadcasts the
+    matched side instead when it is small enough.
 
     ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``;
     ``w(t,d) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``;
