@@ -256,3 +256,60 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: Sequence[str] = ("slow", "dup"),
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist (dirty-word) document filter: count occurrences
+    of blocklisted tokens (case-insensitive whole tokens, not substrings
+    — 'class' never matches a 3-letter entry) and flag any document with
+    at least one.  The default list is a deterministic stand-in wired to
+    the synthetic vocabulary; production passes the real list.
+
+    Scan-local projection, zero shuffle: the blocklist is a literal array
+    in the plan (real lists are a few hundred entries — for very large
+    lists switch to a broadcast join on exploded tokens).  NULL text is
+    treated as the empty string."""
+    from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(normalized_text(text))
+    bl = F.array(*[F.lit(w.lower()) for w in blocklist])
+    n_blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+    return df.withColumns(
+        {"n_blocked": n_blocked, "blocked": n_blocked > 0}
+    )
+
+
+def c4_line_clean(
+    df: DataFrame,
+    min_words: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4 line-level cleaning rules (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation (. ! ? or a closing quote
+    after one) and contain at least ``min_words`` words; emit the
+    surviving text plus per-doc line counts.
+
+    Scan-local projection, zero shuffle — lines never leave their row
+    (split -> filter -> array_join), so at 100 TB this runs at scan
+    speed.  NULL text is treated as the empty string; a document whose
+    every line is dropped emits ``clean_text = ''``."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    word_ok = lambda l: (  # noqa: E731
+        F.size(F.filter(F.split(F.trim(l), "\\s+"), lambda w: w != ""))
+        >= min_words
+    )
+    punct_ok = lambda l: F.rtrim(l).rlike('[.!?]["\']?$')  # noqa: E731
+    kept = F.filter(lines, lambda l: word_ok(l) & punct_ok(l))
+    return df.withColumns(
+        {
+            "n_lines": F.size(lines),
+            "n_lines_kept": F.size(kept),
+            "clean_text": F.array_join(kept, "\n"),
+        }
+    )

@@ -1797,6 +1797,64 @@ FROM totals t LEFT JOIN hits h USING (eval_doc)
 """
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """C4-style blocklist document filter (ops.clean.blocklist_filter):
+    whole-token case-insensitive occurrence counting against a literal
+    list, scan-local, zero shuffle."""
+    from pdfminer_six_spark.ops.clean import blocklist_filter
+
+    return blocklist_filter(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_blocked", "blocked"
+    )
+
+
+_SQL_BLOCKLIST = """
+SELECT doc_id,
+       len(list_filter(
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(COALESCE(text, '')), '\\s+', ' ', 'g')),
+           '\\s+'), x -> x <> ''),
+         x -> list_contains(['slow', 'dup'], x))) AS n_blocked,
+       len(list_filter(
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(COALESCE(text, '')), '\\s+', ' ', 'g')),
+           '\\s+'), x -> x <> ''),
+         x -> list_contains(['slow', 'dup'], x))) > 0 AS blocked
+FROM documents
+"""
+
+
+def q_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning rules (ops.clean.c4_line_clean): keep lines
+    ending in terminal punctuation with >=3 words; lines never leave
+    their row (split -> filter -> array_join, zero shuffle)."""
+    from pdfminer_six_spark.ops.clean import c4_line_clean
+
+    return c4_line_clean(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_lines", "n_lines_kept", "clean_text"
+    )
+
+
+_SQL_C4_LINE_CLEAN = """
+WITH l AS (
+  SELECT doc_id,
+         string_split(COALESCE(text, ''), chr(10)) AS lines
+  FROM documents),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x ->
+           len(list_filter(regexp_split_to_array(TRIM(x), '\\s+'),
+                           w -> w <> '')) >= 3
+           AND regexp_matches(rtrim(x), '[.!?]["'']?$')) AS kept
+  FROM l)
+SELECT doc_id,
+       len(lines) AS n_lines,
+       len(kept) AS n_lines_kept,
+       COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+FROM k
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the full scale-path chain — LSH banding
     candidates, exact-Jaccard verification of candidates only, then
@@ -3142,6 +3200,8 @@ QUERIES: Dict[str, QuerySpec] = {
     # rotation should bring it in first): tokenizer-vocab induction +
     # per-doc OOV rate — 3-SF-gated locally via scripts/check_oracles.py
     "decontaminate_rate": (q_decontaminate_rate, _SQL_DECONTAMINATE_RATE),
+    "blocklist_filter": (q_blocklist_filter, _SQL_BLOCKLIST),
+    "c4_line_clean": (q_c4_line_clean, _SQL_C4_LINE_CLEAN),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     # oracle-sharing variants moved out of the window late-r04 (see the

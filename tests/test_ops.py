@@ -1869,3 +1869,51 @@ def test_contamination_rates_matches_reference(spark):
         101: (1, 1, 1.0, True),
         102: (1, 0, 0.0, False),
     }
+
+
+def test_blocklist_filter_whole_tokens(spark):
+    """blocklist_filter counts whole-token case-insensitive occurrences;
+    substrings never match; NULL text counts zero."""
+    from pdfminer_six_spark.ops.clean import blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "Bad word BAD here"),
+            (2, "badge embaddening"),   # substrings only -> clean
+            (3, None),
+            (4, "ok text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_blocked"], r["blocked"])
+        for r in blocklist_filter(df, blocklist=("bad",)).collect()
+    }
+    assert got == {1: (2, True), 2: (0, False), 3: (0, False), 4: (0, False)}
+
+
+def test_c4_line_clean_rules(spark):
+    """c4_line_clean keeps only >=3-word lines with terminal punctuation
+    (closing quote allowed); counts and joined text match the C4 rule."""
+    from pdfminer_six_spark.ops.clean import c4_line_clean
+
+    text = "\n".join([
+        "This line is kept.",          # keep
+        "Too short.",                  # 2 words -> drop
+        "no terminal punctuation",     # drop
+        'He said "stop it now!"',      # keep (quote after !)
+        "trailing spaces kept too.   ",  # keep (rtrim before the check)
+        "",                            # drop
+    ])
+    df = spark.createDataFrame(
+        [(1, text), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in c4_line_clean(df).collect()}
+    assert got[1]["n_lines"] == 6
+    assert got[1]["n_lines_kept"] == 3
+    assert got[1]["clean_text"] == "\n".join([
+        "This line is kept.",
+        'He said "stop it now!"',
+        "trailing spaces kept too.   ",
+    ])
+    assert (got[2]["n_lines"], got[2]["n_lines_kept"], got[2]["clean_text"]) == (1, 0, "")
