@@ -3190,15 +3190,18 @@ QUERIES: Dict[str, QuerySpec] = {
     "clean_pipeline": (q_clean_pipeline, _clean_pipeline_sql()),
     # ---- past the driver window (index >= 50): interchangeable demos,
     # categories already driver-green via the representatives above or in
-    # a recent round (r03 reps rotated out below were all green in r03;
-    # recursive_date_spine + string_agg_nations moved here at r04 HEAD —
-    # green r03/r02 — to make window room for ann_ivf_verify and
-    # dedup_substring_spans; r05 rotation should bring string_agg_nations
-    # back first, it gave up its rotation slot)
+    # a recent round.  r05 ROTATION PRIORITY (stalest-first, all fully
+    # oracled and 3-SF-gated locally this round):
+    #   1. decontaminate_rate, blocklist_filter, c4_line_clean — brand-new
+    #      first-class corpus ops with no driver row yet
+    #   2. session_window_agg, window_range_frame — ceded their rep slots
+    #      late-r04 (r03-green)
+    #   3. dedup_clusters_star, embedding_near_dups — oracle-sharing
+    #      variants moved out late-r04 (r03-green)
+    #   4. string_agg_nations, recursive_date_spine, stats_agg,
+    #      not_in_null_trap, topk_orders, cube_orders — r02/r03-green
+    #      demos aging in the tail
     "semdedup_kmeans": (q_semdedup_kmeans, None),
-    # fully-oracled late-r04 addition waiting on a window slot (r05
-    # rotation should bring it in first): tokenizer-vocab induction +
-    # per-doc OOV rate — 3-SF-gated locally via scripts/check_oracles.py
     "decontaminate_rate": (q_decontaminate_rate, _SQL_DECONTAMINATE_RATE),
     "blocklist_filter": (q_blocklist_filter, _SQL_BLOCKLIST),
     "c4_line_clean": (q_c4_line_clean, _SQL_C4_LINE_CLEAN),
