@@ -55,6 +55,21 @@ def build_args(argv=None):
         "(avg_nll/ppl; adds the model-build pass and one doc_id shuffle)",
     )
     p.add_argument(
+        "--lm-model",
+        default=None,
+        help="parquet path of a previously-built (w1, w2, cb) bigram-LM "
+        "model (ops.retrieval.bigram_lm_model): the train-once/"
+        "score-many path — implies --lm-scores and skips the model-build "
+        "pass, so scoring reads the corpus exactly once",
+    )
+    p.add_argument(
+        "--save-lm-model",
+        default=None,
+        help="also write the bigram-LM model table built from this "
+        "corpus to the given parquet path (the reusable artifact for "
+        "later --lm-model runs)",
+    )
+    p.add_argument(
         "--keep-only",
         action="store_true",
         help="write only documents passing the combined keep verdict",
@@ -79,10 +94,19 @@ def run(spark, args) -> dict:
             gopher_quality_rules(language_id(with_token_stats(docs)))
         )
     ).withColumn("keep_doc", F.col("keep") & F.col("clf_keep"))
-    if args.lm_scores:
+    if args.save_lm_model:
+        from pdfminer_six_spark.ops.retrieval import bigram_lm_model
+
+        bigram_lm_model(docs).write.mode("overwrite").parquet(
+            args.save_lm_model
+        )
+    if args.lm_scores or args.lm_model:
         from pdfminer_six_spark.ops.retrieval import ngram_lm_scores
 
-        lm = ngram_lm_scores(docs)
+        model = (
+            spark.read.parquet(args.lm_model) if args.lm_model else None
+        )
+        lm = ngram_lm_scores(docs, model=model)
         # left join: <2-token docs have no LM score (NULL), they already
         # fail the Gopher token floor so the verdict is unaffected
         enriched = enriched.join(

@@ -52,6 +52,27 @@ def _bigrams(toks):
     )
 
 
+def bigram_lm_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 10,
+    train_keep: int = 8,
+) -> DataFrame:
+    """Build the bigram-LM model table: ``(w1, w2, cb)`` counts over the
+    deterministic ``pmod(id, train_mod) < train_keep`` slice.  The model
+    IS a relation — write it to parquet as the training artifact and
+    feed it back to :func:`ngram_lm_scores` via ``model=`` for the
+    train-once/score-many production path (scoring then reads the corpus
+    text exactly once)."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    train = df.filter(
+        F.pmod(F.col(id_col), F.lit(train_mod)) < train_keep
+    ).select(_bigrams(toks).alias("bg"))
+    tr_bg = train.select(F.explode("bg").alias("b")).select("b.w1", "b.w2")
+    return tr_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+
+
 def ngram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -59,6 +80,7 @@ def ngram_lm_scores(
     train_mod: int = 10,
     train_keep: int = 8,
     persist_model: bool = True,
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Add-one-smoothed bigram-LM scoring of every document.
 
@@ -67,6 +89,13 @@ def ngram_lm_scores(
     discipline as ``deterministic_split``).  Counts: ``cb(w1,w2)`` bigram
     occurrences and ``cu(w)`` unigram occurrences over the slice, plus
     vocabulary size ``V`` (distinct unigrams).
+
+    ``model`` is the train-once/score-many production path: pass a
+    ``(w1, w2, cb)`` relation previously built by
+    :func:`bigram_lm_model` (typically read back from parquet — the
+    model IS a table) and the train slice is not computed at all; the
+    job becomes one scoring pass over the corpus.  Round-trip equality
+    (build -> write parquet -> read -> score == inline) is pytest-pinned.
 
     Per document: every adjacent token pair contributes
     ``ln(cb+1) - ln(cu+V)`` (add-one smoothing; unseen bigrams/prefixes
@@ -81,10 +110,11 @@ def ngram_lm_scores(
     """
     toks = tokens_col(normalized_text(F.col(text_col)))
     base = df.select(F.col(id_col), _bigrams(toks).alias("bg"))
-    train = base.filter(F.pmod(F.col(id_col), F.lit(train_mod)) < train_keep)
-
-    tr_bg = train.select(F.explode("bg").alias("b")).select("b.w1", "b.w2")
-    cb = tr_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cb = (
+        model
+        if model is not None
+        else bigram_lm_model(df, text_col, id_col, train_mod, train_keep)
+    )
     # cu and V both derive from cb rather than re-scanning the train
     # slice: cu(w1) = sum of cb over w2 (the conditional denominator —
     # prefix-position counts, not raw unigram counts), and the vocabulary
@@ -101,7 +131,9 @@ def ngram_lm_scores(
     # 25.1/27.1 s — a wash where the corpus is 24 MB, kept ON because
     # the scan-count argument (2 vs 4 text reads) is what matters at
     # 100 TB and the cached table is bounded by model size, not corpus.
-    if persist_model:
+    # (A parquet-materialized `model` is equally re-read per consumer but
+    # from a tiny columnar file, so the persist matters less there.)
+    if persist_model and model is None:
         cb = cb.persist()
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     vocab = cb.select(F.explode(F.array("w1", "w2")).alias("w"))

@@ -377,3 +377,43 @@ def test_score_job_end_to_end(spark, tmp_path):
     kept = spark.read.parquet(str(out2)).count()
     assert stats2["n_docs"] == stats2["n_keep"] == kept
     assert kept == int(stats["n_keep"])
+
+
+def test_score_job_lm_model_artifact(spark, tmp_path):
+    """jobs/score.py --save-lm-model then --lm-model: the artifact run
+    produces identical LM columns to the inline --lm-scores run."""
+    import importlib.util, os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "jobs_score2",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", "score.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src = pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "text": [f"alpha beta tok{i % 3} gamma delta" for i in range(12)],
+            "source": ["s"] * 12,
+        }
+    )
+    inp = tmp_path / "lm_in.parquet"
+    src.to_parquet(inp)
+    out1, out2 = tmp_path / "inline_out", tmp_path / "artifact_out"
+    mdl = tmp_path / "lm_model"
+    job.run(spark, job.build_args([
+        "--input", str(inp), "--output", str(out1),
+        "--lm-scores", "--save-lm-model", str(mdl),
+    ]))
+    job.run(spark, job.build_args([
+        "--input", str(inp), "--output", str(out2), "--lm-model", str(mdl),
+    ]))
+    a = {r["doc_id"]: (r["avg_nll"], r["ppl"])
+         for r in spark.read.parquet(str(out1)).collect()}
+    b = {r["doc_id"]: (r["avg_nll"], r["ppl"])
+         for r in spark.read.parquet(str(out2)).collect()}
+    assert a == b and len(a) == 12 and all(v[0] is not None for v in a.values())

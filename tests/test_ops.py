@@ -1917,3 +1917,27 @@ def test_c4_line_clean_rules(spark):
         "trailing spaces kept too.   ",
     ])
     assert (got[2]["n_lines"], got[2]["n_lines_kept"], got[2]["clean_text"]) == (1, 0, "")
+
+
+def test_bigram_lm_model_roundtrip(spark, tmp_path):
+    """Train-once/score-many: building the model, writing it to parquet,
+    reading it back and scoring via model= equals the inline path
+    exactly."""
+    from pdfminer_six_spark.ops.retrieval import bigram_lm_model, ngram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} common tok{(i + 1) % 4} common end") for i in range(30)],
+        "doc_id long, text string",
+    )
+    inline = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in ngram_lm_scores(docs).collect()
+    }
+    mpath = str(tmp_path / "lm_model.parquet")
+    bigram_lm_model(docs).write.parquet(mpath)
+    loaded = spark.read.parquet(mpath)
+    via_model = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"], r["ppl"])
+        for r in ngram_lm_scores(docs, model=loaded).collect()
+    }
+    assert via_model == inline
