@@ -248,3 +248,45 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet corpus partitioning (Wenzek et al. 2020 §4.4): bucket every
+    document into perplexity terciles WITHIN its predicted language —
+    bucket 1 = head (lowest perplexity, highest quality), 2 = middle,
+    3 = tail.  CCNet trains on head/middle and drops or down-weights the
+    tail; the bucket column is exactly that dial.
+
+    Composition of two existing operators (bigram-LM scoring + stopword
+    language ID) plus one NTILE window.  Determinism: the window orders
+    by the ROUNDED perplexity with ``id_col`` as the final tiebreak, so
+    bucket boundaries are engine-reproducible even among equal scores.
+
+    Scale shape: the window partitions by language — a handful of huge
+    partitions at web scale, which is exactly how CCNet shards too (it
+    buckets per language file); if a single language exceeds one
+    partition's comfort, swap NTILE for approx-quantile cutoffs
+    (length-quantiles sketch pattern) at the cost of exactness."""
+    from pyspark.sql.window import Window
+
+    from pdfminer_six_spark.ops.textstats import language_id
+
+    scores = ngram_lm_scores(
+        df, text_col=text_col, id_col=id_col, model=model
+    )
+    langs = language_id(df, text_col).select(id_col, "pred_lang")
+    joined = scores.join(langs, id_col)
+    bucket = F.ntile(n_buckets).over(
+        Window.partitionBy("pred_lang").orderBy(
+            F.col("ppl"), F.col(id_col)
+        )
+    )
+    return joined.select(
+        id_col, "pred_lang", "ppl", bucket.cast("long").alias("bucket")
+    )

@@ -2966,6 +2966,30 @@ FROM agg
 """
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity buckets (ops.retrieval.ccnet_buckets): head /
+    middle / tail terciles of bigram-LM perplexity within each predicted
+    language — the Wenzek et al. 2020 corpus-partitioning dial, as one
+    lazy composition of the LM scorer, the language ID, and an NTILE
+    window ordered on the rounded ppl with doc_id tiebreak."""
+    from pdfminer_six_spark.ops import retrieval
+
+    return retrieval.ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+def _ccnet_buckets_sql() -> str:
+    lang_inner = _lang_sql().replace(
+        "SELECT doc_id, CASE", "SELECT doc_id AS ld, CASE", 1
+    )
+    return f"""
+SELECT lm.doc_id, l.pred_lang, lm.ppl,
+       CAST(NTILE(3) OVER (PARTITION BY l.pred_lang
+                           ORDER BY lm.ppl, lm.doc_id) AS BIGINT) AS bucket
+FROM ({_SQL_NGRAM_LM}) lm
+JOIN ({lang_inner}) l ON lm.doc_id = l.ld
+"""
+
+
 def q_bm25_search(spark, sf_dir):
     """Okapi BM25 top-5 retrieval (ops.retrieval.bm25_topk) for a fixed
     3-query workload over the documents corpus.  The query set
@@ -3205,6 +3229,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "decontaminate_rate": (q_decontaminate_rate, _SQL_DECONTAMINATE_RATE),
     "blocklist_filter": (q_blocklist_filter, _SQL_BLOCKLIST),
     "c4_line_clean": (q_c4_line_clean, _SQL_C4_LINE_CLEAN),
+    "ccnet_buckets": (q_ccnet_buckets, _ccnet_buckets_sql()),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     # oracle-sharing variants moved out of the window late-r04 (see the

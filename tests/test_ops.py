@@ -1941,3 +1941,33 @@ def test_bigram_lm_model_roundtrip(spark, tmp_path):
         for r in ngram_lm_scores(docs, model=loaded).collect()
     }
     assert via_model == inline
+
+
+def test_ccnet_buckets_terciles_per_language(spark):
+    """ccnet_buckets: NTILE terciles are assigned within each predicted
+    language in ascending-perplexity order (bucket 1 = head = most
+    fluent under the corpus LM)."""
+    from pdfminer_six_spark.ops.retrieval import ccnet_buckets
+
+    # 6 English-ish docs (contain 'the'/'and') with varying fluency vs
+    # the train slice, 3 French-ish docs; ids chosen so all train
+    fluent = "the cat and the dog and the cat and the dog"
+    rows = [(i, fluent) for i in range(3)]                       # en, low ppl
+    rows += [(3, "the zz qq and ww rr"), (4, "the aa bb and cc dd"),
+             (5, "the ee ff and gg hh")]                         # en, high ppl
+    rows += [(10, "le chat et le chien"), (11, "le aa et le bb"),
+             (12, "le cc et le dd")]                             # fr
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ccnet_buckets(df).collect()}
+    en = sorted(
+        (r["ppl"], r["doc_id"], r["bucket"])
+        for r in got.values() if r["pred_lang"] == "en"
+    )
+    fr = [r for r in got.values() if r["pred_lang"] == "fr"]
+    assert len(en) == 6 and len(fr) == 3
+    # ascending ppl maps to non-decreasing buckets, 2 docs per en tercile
+    assert [b for _, _, b in en] == [1, 1, 2, 2, 3, 3]
+    # each fr doc lands in its own tercile (3 docs, 3 buckets)
+    assert sorted(r["bucket"] for r in fr) == [1, 2, 3]
+    # the verbatim-fluent docs are the English head
+    assert {d for _, d, b in en if b == 1} <= {0, 1, 2}
