@@ -1971,3 +1971,50 @@ def test_ccnet_buckets_terciles_per_language(spark):
     assert sorted(r["bucket"] for r in fr) == [1, 2, 3]
     # the verbatim-fluent docs are the English head
     assert {d for _, d, b in en if b == 1} <= {0, 1, 2}
+
+
+def test_streaming_quality_filter_composes(spark, tmp_path):
+    """The scan-local quality operators compose directly onto a
+    STREAMING DataFrame (no new code needed): readStream -> gopher +
+    blocklist -> exactly-once foreachBatch sink; restarting the stream
+    over the same checkpoint adds nothing, and the streamed verdicts
+    equal the batch path row-for-row."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import blocklist_filter
+    from pdfminer_six_spark.ops.textstats import gopher_quality_rules
+    from pdfminer_six_spark.spark.streaming import streaming_idempotent_sink
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    good = "the cat and the dog sat with it for now and then some more words"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": [good if i % 2 == 0 else f"bad doc {i}" for i in range(8)],
+        }
+    )
+    docs.to_parquet(src_dir / "part0.parquet")
+
+    batch_df = spark.read.parquet(str(src_dir))
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+
+    def enrich(df):
+        return blocklist_filter(gopher_quality_rules(df), blocklist=("bad",)
+        ).select("doc_id", "n_tokens", "keep", "n_blocked", "blocked")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    streaming_idempotent_sink(enrich(stream_df), out, ckpt).awaitTermination(120)
+    first = spark.read.parquet(out).drop("batch_id")
+    assert first.count() == 8
+    # restart over the same checkpoint: no new data -> nothing added
+    streaming_idempotent_sink(enrich(stream_df), out, ckpt).awaitTermination(120)
+    again = spark.read.parquet(out).drop("batch_id")
+    assert again.count() == 8
+    batch = enrich(batch_df)
+    assert batch.exceptAll(again).count() == 0
+    assert again.exceptAll(batch).count() == 0
