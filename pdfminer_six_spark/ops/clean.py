@@ -313,3 +313,55 @@ def c4_line_clean(
             "clean_text": F.array_join(kept, "\n"),
         }
     )
+
+
+def source_upsample(
+    df: DataFrame,
+    rates: dict,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic source UP-sampling — the mixture-building
+    counterpart of the down-sampling ``corpus_mix``: a source with rate
+    r contributes floor(r) full copies of every document plus one more
+    copy for a deterministic frac(r) Bernoulli of documents ("2.5 epochs
+    of wiki").  Emits one row per (document, epoch) with ``epoch`` in
+    1..n_copies; rate 0 drops the source entirely.
+
+    Determinism: the fractional-copy membership is the md5-prefix
+    threshold on the doc id (the deterministic_split/corpus_mix
+    technique) — a pure function of the id, RNG-free, identical under
+    retries/speculation, and reproducible in the DuckDB oracle via the
+    same hex-prefix arithmetic.
+
+    Scale shape: scan-local explode (rows never leave their split; the
+    blow-up factor is the mixture spec, exactly the cost the caller
+    asked for).  Downstream writers see the epoch column and can salt
+    shard assignment with it so replicas don't co-locate."""
+    rate = None
+    for src, r in sorted(rates.items()):
+        cond = F.col(source_col) == src
+        rate = (
+            F.when(cond, float(r))
+            if rate is None
+            else rate.when(cond, float(r))
+        )
+    rate = (
+        rate.otherwise(float(default_rate))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    n_base = F.floor(rate).cast("int")
+    frac = rate - F.floor(rate)
+    h4 = F.substring(F.md5(F.col(id_col).cast("string")), 1, 4)
+    in_frac = (
+        F.conv(h4, 16, 10).cast("double") / F.lit(65536.0) < frac
+    ).cast("int")
+    n_copies = n_base + in_frac
+    epochs = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        id_col, source_col, F.explode(epochs).alias("epoch")
+    )

@@ -1855,6 +1855,52 @@ FROM k
 """
 
 
+def q_source_upsample(spark, sf_dir):
+    """Deterministic source up-sampling (ops.clean.source_upsample):
+    floor(rate) full epochs + md5-threshold fractional epoch per doc —
+    the mixture-building counterpart of corpus_mix.  Source labels
+    synthesized from doc_id%4 like corpus_mix; rates: web 2.5, books
+    1.0, code 0.0 (dropped), wiki 3.0.  Scan-local explode."""
+    from pdfminer_six_spark.ops.clean import source_upsample
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    src = (
+        F.when(m == 0, "web")
+        .when(m == 1, "books")
+        .when(m == 2, "code")
+        .otherwise("wiki")
+    )
+    return source_upsample(
+        docs.select("doc_id", src.alias("mix_source")),
+        rates={"web": 2.5, "books": 1.0, "code": 0.0, "wiki": 3.0},
+        source_col="mix_source",
+    )
+
+
+_SQL_SOURCE_UPSAMPLE = """
+WITH labeled AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'web' WHEN 1 THEN 'books'
+                         WHEN 2 THEN 'code' ELSE 'wiki' END AS mix_source
+  FROM documents),
+rated AS (
+  SELECT doc_id, mix_source,
+         CASE mix_source WHEN 'web' THEN 2.5 WHEN 'books' THEN 1.0
+                         WHEN 'code' THEN 0.0 ELSE 3.0 END AS rate,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS UBIGINT) / 65536.0 AS u
+  FROM labeled),
+copies AS (
+  SELECT doc_id, mix_source,
+         CAST(FLOOR(rate) AS INTEGER)
+           + CASE WHEN u < rate - FLOOR(rate) THEN 1 ELSE 0 END AS n
+  FROM rated)
+SELECT doc_id, mix_source, CAST(UNNEST(range(1, n + 1)) AS INTEGER) AS epoch
+FROM copies
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the full scale-path chain — LSH banding
     candidates, exact-Jaccard verification of candidates only, then
@@ -3230,6 +3276,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "blocklist_filter": (q_blocklist_filter, _SQL_BLOCKLIST),
     "c4_line_clean": (q_c4_line_clean, _SQL_C4_LINE_CLEAN),
     "ccnet_buckets": (q_ccnet_buckets, _ccnet_buckets_sql()),
+    "source_upsample": (q_source_upsample, _SQL_SOURCE_UPSAMPLE),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     # oracle-sharing variants moved out of the window late-r04 (see the

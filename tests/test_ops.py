@@ -2018,3 +2018,30 @@ def test_streaming_quality_filter_composes(spark, tmp_path):
     batch = enrich(batch_df)
     assert batch.exceptAll(again).count() == 0
     assert again.exceptAll(batch).count() == 0
+
+
+def test_source_upsample_epochs(spark):
+    """source_upsample: floor(rate) copies for everyone, +1 for the
+    deterministic fractional slice; rate 0 drops the source; rate 1 is
+    the identity; epoch numbering is 1..n."""
+    import hashlib
+
+    from pdfminer_six_spark.ops.clean import source_upsample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {"a": 2.5, "b": 1.0, "c": 0.0}
+    got = {}
+    for r in source_upsample(df, rates=rates).collect():
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    for d, src in rows:
+        if src == "c":
+            assert d not in got
+            continue
+        u = int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) / 65536.0
+        rate = rates[src]
+        n = int(rate) + (1 if u < rate - int(rate) else 0)
+        assert sorted(got.get(d, [])) == list(range(1, n + 1)), (d, src)
+    # the fractional slice is non-trivial on 10 'a' docs at 0.5
+    n_a3 = sum(1 for d, s in rows if s == "a" and len(got.get(d, [])) == 3)
+    assert 0 < n_a3 < 10
