@@ -260,6 +260,8 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         # both model-count joins are equi-joins on the bigram words
         "bm25_search",  # 1-row (n_docs, avgdl) stats broadcast; postings
         # are pruned by the broadcast query-term equi-join first
+        "ccnet_buckets",  # composes ngram_lm_scores, inheriting its
+        # 1-row vocab-size broadcast; all other joins are equi-joins
     }
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():
