@@ -545,3 +545,50 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         .select("source", F.col("pred_lang").alias("top_lang"))
     )
     return per_source.join(top_lang, "source")
+
+
+def winnow_fingerprints(
+    df: DataFrame, k: int = 16, w: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every k-char gram of the normalized text,
+    slide a w-gram window, and select each window's MINIMUM hash.  The
+    selected set has a guaranteed density (every w consecutive grams
+    contribute at least one fingerprint — the coverage guarantee the
+    0-mod-p scheme in :func:`rolling_fingerprints` lacks) and any shared
+    substring of length >= k+w-1 is always detected.
+
+    Entirely in-row (transform over the gram array + array_min per
+    window + array_distinct), zero shuffle — at 100 TB this runs at scan
+    speed like the other fingerprint ops.  The gram hash is the md5-hex
+    prefix cast to a long, identically computable in DuckDB, because
+    unlike the substring-dedup spans the fingerprint VALUES are the
+    output here and must match the oracle bit-for-bit.
+
+    Returns (doc_id, fp) exploded-distinct; docs shorter than k
+    normalized chars produce no rows."""
+    normed = df.select(
+        "doc_id", normalized_text(F.col(text_col)).alias("_norm")
+    ).filter(F.length("_norm") >= k)
+    s = F.col("_norm")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(s) - k + 1),
+        lambda i: F.conv(
+            F.substring(F.md5(s.substr(i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    base = normed.select("doc_id", grams.alias("_g"))
+    g = F.col("_g")
+    n = F.size(g)
+    # window j covers grams j-w+1 .. j (1-based), full windows only; a
+    # doc with fewer than w grams contributes its single all-gram min
+    mins = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(w), n),
+            lambda j: F.array_min(F.slice(g, j - w + 1, w)),
+        ),
+    ).otherwise(F.array(F.array_min(g)))
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )

@@ -1901,6 +1901,35 @@ FROM copies
 """
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (ops.textstats.winnow_fingerprints — the
+    MOSS algorithm): per-window minimum of md5-prefix gram hashes with
+    guaranteed selection density, entirely in-row (zero shuffle)."""
+    return textstats.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_SQL_WINNOW = """
+WITH normed AS (
+  SELECT doc_id,
+         LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')) AS s
+  FROM documents),
+long_enough AS (SELECT * FROM normed WHERE LENGTH(s) >= 16),
+grams AS (
+  SELECT doc_id,
+         [CAST(('0x' || substr(md5(substr(s, i, 16)), 1, 8)) AS UBIGINT)
+          FOR i IN RANGE(1, LENGTH(s) - 16 + 2)] AS g
+  FROM long_enough),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(g) >= 8 THEN
+           [list_min(g[j - 7:j]) FOR j IN RANGE(8, len(g) + 1)]
+         ELSE [list_min(g)] END AS m
+  FROM grams)
+SELECT doc_id, CAST(UNNEST(list_distinct(m)) AS BIGINT) AS fp
+FROM mins
+"""
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-duplicate CLUSTERS: the full scale-path chain — LSH banding
     candidates, exact-Jaccard verification of candidates only, then
@@ -3277,6 +3306,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "c4_line_clean": (q_c4_line_clean, _SQL_C4_LINE_CLEAN),
     "ccnet_buckets": (q_ccnet_buckets, _ccnet_buckets_sql()),
     "source_upsample": (q_source_upsample, _SQL_SOURCE_UPSAMPLE),
+    "winnow_fingerprints": (q_winnow_fingerprints, _SQL_WINNOW),
     "session_window_agg": (q_session_window_agg, _SQL_SESSION_WINDOW),
     "window_range_frame": (q_window_range_frame, _SQL_WINDOW_RANGE),
     # oracle-sharing variants moved out of the window late-r04 (see the

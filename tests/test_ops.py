@@ -2045,3 +2045,49 @@ def test_source_upsample_epochs(spark):
     # the fractional slice is non-trivial on 10 'a' docs at 0.5
     n_a3 = sum(1 for d, s in rows if s == "a" and len(got.get(d, [])) == 3)
     assert 0 < n_a3 < 10
+
+
+def test_winnow_fingerprints_guarantees(spark):
+    """Winnowing guarantees: (a) any shared substring of length >=
+    k+w-1 produces a shared fingerprint; (b) matches a pure-Python
+    reference (window-min over md5-prefix gram hashes); (c) short docs
+    (< k chars) emit nothing, docs with < w grams emit their single
+    global min."""
+    import hashlib
+
+    from pdfminer_six_spark.ops.textstats import winnow_fingerprints
+
+    k, w = 16, 8
+    shared = "this exact phrase is long enough to be caught"  # 46 chars
+    texts = {
+        1: f"prefix one {shared} suffix alpha",
+        2: f"completely different head {shared} and tail",
+        3: "totally unrelated content with no overlap at all here",
+        4: "tiny",                      # < k -> no rows
+        5: "exactly twenty chr x",      # 20 chars -> 5 grams < w
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def py_fps(s):
+        s = " ".join(s.lower().split())
+        if len(s) < k:
+            return set()
+        g = [
+            int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(s) - k + 1)
+        ]
+        if len(g) < w:
+            return {min(g)}
+        return {min(g[j:j + w]) for j in range(len(g) - w + 1)}
+
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for d, s in texts.items():
+        assert got.get(d, set()) == py_fps(s), d
+    assert 4 not in got and len(got[5]) == 1
+    # shared >= k+w-1 substring -> guaranteed common fingerprint
+    assert got[1] & got[2]
+    assert not (got[3] & got[1])
