@@ -212,6 +212,12 @@ def chunk_documents(
     windows of ``chunk_tokens`` whitespace tokens starting every
     ``stride`` tokens (stride < chunk_tokens overlaps consecutive chunks,
     the usual RAG/long-doc recipe; the last window is allowed short).
+    A start whose window would be FULLY CONTAINED in the previous one
+    (previous window already reaches the document end, i.e.
+    ``start - stride + chunk_tokens >= n_tokens``) is not emitted —
+    otherwise e.g. n=60/chunk=64/stride=48 would emit a second chunk
+    entirely inside the first and downstream embedding/training
+    consumers would see duplicate coverage.
 
     Emits ``(doc_id, chunk_idx, start_tok, end_tok, n_chunk_tokens,
     chunk_text)`` — token offsets are half-open [start_tok, end_tok) over
@@ -229,8 +235,14 @@ def chunk_documents(
 
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
+    # last useful start: s == 0, or s + chunk_tokens - stride < n (the
+    # previous window does NOT already reach the end) — and never past
+    # the last token (covers stride > chunk_tokens gap layouts too).
+    last = F.greatest(
+        F.lit(0), F.least(n - 1, n - chunk_tokens + stride - 1)
+    )
     starts = F.when(
-        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        n > 0, F.sequence(F.lit(0), last, F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
     return (
         df.select(id_col, toks.alias("_toks"), n.alias("_n"), starts.alias("_starts"))

@@ -700,6 +700,7 @@ def duplicate_spans(
     k: int = 30,
     min_count: int = 2,
     text_col: str = "text",
+    double_hash: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring spans — the span-level sibling of
     :func:`exact_duplicates`, after Lee et al. 2022 ("Deduplicating
@@ -751,10 +752,24 @@ def duplicate_spans(
     # hash because the compared output is the spans; a cross-doc 64-bit
     # collision (expected colliding pairs ~ n_grams^2 / 2^65, ~1e-6 at
     # 10M grams) could at worst mint one spurious k-char span.
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), F.length(s) - k + 1),
-        lambda i: F.xxhash64(s.substr(i, F.lit(k))),
-    )
+    # ``double_hash=True`` widens the dup key to 128 bits by pairing an
+    # independent xxhash64 of the REVERSED gram — collision odds drop
+    # below any realistic corpus size (~n^2/2^129) at the cost of a
+    # second hash per gram and a 16-byte shuffle key; spans are
+    # pytest-pinned identical across both settings at test scale.
+    if double_hash:
+        gram_hashes = F.transform(
+            F.sequence(F.lit(1), F.length(s) - k + 1),
+            lambda i: F.struct(
+                F.xxhash64(s.substr(i, F.lit(k))).alias("h1"),
+                F.xxhash64(F.reverse(s.substr(i, F.lit(k)))).alias("h2"),
+            ),
+        )
+    else:
+        gram_hashes = F.transform(
+            F.sequence(F.lit(1), F.length(s) - k + 1),
+            lambda i: F.xxhash64(s.substr(i, F.lit(k))),
+        )
     grams = normed.select(
         "doc_id", F.posexplode(gram_hashes).alias("pos0", "h")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "h")

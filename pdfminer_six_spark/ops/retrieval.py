@@ -81,8 +81,17 @@ def ngram_lm_scores(
     train_keep: int = 8,
     persist_model: bool = True,
     model: DataFrame | None = None,
+    model_handle: list | None = None,
 ) -> DataFrame:
     """Add-one-smoothed bigram-LM scoring of every document.
+
+    Cache lifetime: with ``persist_model=True`` (and no external
+    ``model``) the bigram count table is persisted and stays cached for
+    the session — each DISTINCT input plan is a separate cache entry, so
+    a long-lived session scoring many different inputs accumulates model
+    tables until it ends.  Pass a list as ``model_handle`` to receive the
+    persisted DataFrame and ``unpersist()`` it once the scoring action
+    has run (jobs/score.py does exactly this after its write).
 
     Model slice: documents with ``pmod(id, train_mod) < train_keep`` —
     deterministic, RNG-free, stable under retries/speculation (same
@@ -135,6 +144,8 @@ def ngram_lm_scores(
     # from a tiny columnar file, so the persist matters less there.)
     if persist_model and model is None:
         cb = cb.persist()
+        if model_handle is not None:
+            model_handle.append(cb)
     cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
     vocab = cb.select(F.explode(F.array("w1", "w2")).alias("w"))
     # V is a scalar: 1-row broadcast crossJoin (sanctioned pattern, see
@@ -256,6 +267,8 @@ def ccnet_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     model: DataFrame | None = None,
+    cutoffs: str = "exact",
+    sketch_accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet corpus partitioning (Wenzek et al. 2020 §4.4): bucket every
     document into perplexity terciles WITHIN its predicted language —
@@ -264,17 +277,29 @@ def ccnet_buckets(
     tail; the bucket column is exactly that dial.
 
     Composition of two existing operators (bigram-LM scoring + stopword
-    language ID) plus one NTILE window.  Determinism: the window orders
-    by the ROUNDED perplexity with ``id_col`` as the final tiebreak, so
-    bucket boundaries are engine-reproducible even among equal scores.
+    language ID) plus the bucket assignment, which has two paths:
 
-    Scale shape: the window partitions by language — a handful of huge
-    partitions at web scale, which is exactly how CCNet shards too (it
-    buckets per language file); if a single language exceeds one
-    partition's comfort, swap NTILE for approx-quantile cutoffs
-    (length-quantiles sketch pattern) at the cost of exactness."""
-    from pyspark.sql.window import Window
+    * ``cutoffs='exact'`` — equal-count NTILE over
+      ``Window.partitionBy(pred_lang).orderBy(ppl, id)``.  Exact and
+      deterministic (rounded ppl, ``id_col`` tiebreak), and the oracle /
+      audit path — but the window funnels every document of a language
+      through ONE task's sort.  Fine at bench scale; at 100 TB the
+      English partition is billions of rows and this window IS the job.
 
+    * ``cutoffs='sketch'`` — the 100× plan (the length-quantiles-sketch
+      pattern): per-language boundary perplexities come from
+      ``percentile_approx`` — a mergeable partial-aggregating sketch, no
+      per-language sort anywhere — and each document's bucket is assigned
+      by comparing its ppl against its language's (n_buckets-1)-element
+      cutoff array via a tiny broadcast join on ``pred_lang``.  Boundary
+      ties: every document with ppl == a cutoff lands in the LOWER
+      bucket (``ppl > cutoff`` strictly advances), so equal scores can
+      never straddle buckets — unlike NTILE, which splits ties to
+      equalize counts.  Consequently sketch bucket counts can deviate
+      from exact by the tie mass at each boundary (plus sketch error
+      ~1/sketch_accuracy relative rank); the exact-vs-sketch differential
+      is pytest-pinned at test scale.
+    """
     from pdfminer_six_spark.ops.textstats import language_id
 
     scores = ngram_lm_scores(
@@ -282,11 +307,28 @@ def ccnet_buckets(
     )
     langs = language_id(df, text_col).select(id_col, "pred_lang")
     joined = scores.join(langs, id_col)
-    bucket = F.ntile(n_buckets).over(
-        Window.partitionBy("pred_lang").orderBy(
-            F.col("ppl"), F.col(id_col)
+    if cutoffs == "exact":
+        from pyspark.sql.window import Window
+
+        bucket = F.ntile(n_buckets).over(
+            Window.partitionBy("pred_lang").orderBy(
+                F.col("ppl"), F.col(id_col)
+            )
         )
-    )
+    elif cutoffs == "sketch":
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        # One extra pass over the (id, ppl, lang) relation — NOT the
+        # corpus text — aggregated map-side into per-language sketches:
+        # a few-row table, broadcast back onto the scored relation.
+        bounds = joined.groupBy("pred_lang").agg(
+            F.percentile_approx("ppl", qs, sketch_accuracy).alias("cuts")
+        )
+        joined = joined.join(F.broadcast(bounds), "pred_lang")
+        bucket = F.lit(1) + F.size(
+            F.filter("cuts", lambda c: F.col("ppl") > c)
+        )
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"cutoffs must be 'exact' or 'sketch': {cutoffs}")
     return joined.select(
         id_col, "pred_lang", "ppl", bucket.cast("long").alias("bucket")
     )

@@ -2187,7 +2187,13 @@ def q_language_id(spark, sf_dir):
     )
 
 
-def _lang_sql() -> str:
+def _lang_sql(id_alias: str = "doc_id", coalesce_text: bool = False) -> str:
+    """DuckDB mirror of textstats.language_id.  ``id_alias`` names the
+    emitted id column (composing oracles join on a renamed id instead of
+    post-hoc ``.replace()`` string surgery on this SQL — a benign edit to
+    the SELECT prefix used to silently break the substitution and only
+    show up at driver time); ``coalesce_text`` mirrors the Spark side's
+    clean.py NULL-to-'' convention for oracles that score nullable text."""
     score_exprs = []
     for lang, words in sorted(textstats.STOPWORDS.items()):
         lst = ", ".join(f"'{w}'" for w in words)
@@ -2205,14 +2211,15 @@ def _lang_sql() -> str:
             conds.append(f"s_{lang} {op} s_{o}")
         best += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
     best += "END AS pred_lang"
+    text_expr = "COALESCE(text, '')" if coalesce_text else "text"
     return f"""
 WITH scored AS (
   SELECT doc_id,
-         list_transform(list_filter(regexp_split_to_array(text, '\\s+'),
+         list_transform(list_filter(regexp_split_to_array({text_expr}, '\\s+'),
                                     x -> x <> ''), x -> LOWER(x)) AS toks
   FROM documents),
-s2 AS (SELECT doc_id, {', '.join(score_exprs)} FROM scored)
-SELECT doc_id, {best} FROM s2
+s2 AS (SELECT doc_id AS {id_alias}, {', '.join(score_exprs)} FROM scored)
+SELECT {id_alias}, {best} FROM s2
 """
 
 
@@ -2911,7 +2918,11 @@ WITH toks AS (
            AS arr
   FROM documents
 ), starts AS (
-  SELECT doc_id, arr, unnest(range(0, len(arr), 48)) AS start_tok
+  -- stop = last useful start + 1: a start > 0 whose previous window
+  -- already reaches the end (start - 48 + 64 >= n) is redundant
+  SELECT doc_id, arr,
+         unnest(range(0, greatest(1, least(len(arr), len(arr) - 64 + 48)),
+                      48)) AS start_tok
   FROM toks WHERE len(arr) > 0
 )
 SELECT doc_id,
@@ -3053,9 +3064,7 @@ def q_ccnet_buckets(spark, sf_dir):
 
 
 def _ccnet_buckets_sql() -> str:
-    lang_inner = _lang_sql().replace(
-        "SELECT doc_id, CASE", "SELECT doc_id AS ld, CASE", 1
-    )
+    lang_inner = _lang_sql(id_alias="ld")
     return f"""
 SELECT lm.doc_id, l.pred_lang, lm.ppl,
        CAST(NTILE(3) OVER (PARTITION BY l.pred_lang
@@ -3128,19 +3137,11 @@ def q_corpus_report(spark, sf_dir):
 
 
 def _corpus_report_sql() -> str:
-    # langid per doc reuses the exact scoring CASE from _lang_sql()
-    # rename in the FINAL projection (the argmax select starts
-    # "SELECT doc_id, CASE"), not the tokenizing CTE's "SELECT doc_id,"
-    # — and NULL-coalesce text to '' everywhere, mirroring the Spark
-    # side's clean.py convention (corpus_report coalesces before langid)
-    lang_inner = (
-        _lang_sql()
-        .replace("SELECT doc_id, CASE", "SELECT doc_id AS ld, CASE", 1)
-        .replace(
-            "regexp_split_to_array(text,",
-            "regexp_split_to_array(COALESCE(text, ''),",
-        )
-    )
+    # langid per doc reuses the exact scoring CASE from _lang_sql(),
+    # renamed to `ld` and NULL-coalescing text to '' — mirroring the
+    # Spark side's clean.py convention (corpus_report coalesces before
+    # langid) — via _lang_sql's own parameters, not string surgery.
+    lang_inner = _lang_sql(id_alias="ld", coalesce_text=True)
     return f"""
 WITH lang AS ({lang_inner}),
 toks AS (

@@ -1529,8 +1529,11 @@ def test_semdedup_kmeans_matches_numpy_rule(spark):
 def test_chunk_documents_windows_and_offsets(spark):
     """64/48 token windows: offsets half-open over the whitespace token
     stream, overlap = chunk_tokens - stride, short final window kept,
-    empty docs emit nothing."""
+    empty docs emit nothing — and a tail start whose window is fully
+    contained in the previous chunk is NOT emitted (no duplicate
+    coverage for downstream embedding/training consumers)."""
     import pandas as pd
+    from pyspark.sql import functions as F
 
     from pdfminer_six_spark.ops.clean import chunk_documents
 
@@ -1551,11 +1554,34 @@ def test_chunk_documents_windows_and_offsets(spark):
         (0, 0, 4, "t0 t1 t2 t3"),
         (1, 3, 7, "t3 t4 t5 t6"),
         (2, 6, 10, "t6 t7 t8 t9"),
-        (3, 9, 10, "t9"),  # short tail window
+        # start 9 ([9,10)) is fully inside chunk 2's [6,10) -> dropped
     ]
     assert all(
         r["n_chunk_tokens"] == r["end_tok"] - r["start_tok"] for r in rows
     )
+
+    # the ADVICE example: n=60, chunk=64, stride=48 -> exactly ONE chunk
+    # (the old behavior emitted a second chunk fully inside the first);
+    # n=65 keeps its 2nd chunk (adds token 64, not redundant)
+    df2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    " ".join(f"w{i}" for i in range(60)),
+                    " ".join(f"w{i}" for i in range(65)),
+                ],
+            }
+        )
+    )
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in chunk_documents(df2, chunk_tokens=64, stride=48)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert counts == {1: 1, 2: 2}
 
 
 def test_quality_classifier_paths_agree(spark):
@@ -1971,6 +1997,65 @@ def test_ccnet_buckets_terciles_per_language(spark):
     assert sorted(r["bucket"] for r in fr) == [1, 2, 3]
     # the verbatim-fluent docs are the English head
     assert {d for _, d, b in en if b == 1} <= {0, 1, 2}
+
+
+def test_ccnet_buckets_sketch_matches_exact(spark):
+    """cutoffs='sketch' (per-language percentile_approx boundaries +
+    comparison assignment — the 100 TB path, no per-language NTILE sort)
+    must agree with cutoffs='exact' everywhere except documented boundary
+    ties, on real sf0.01 documents.
+
+    At this scale (rows << sketch_accuracy) the GK sketch is exact, so
+    any disagreement is purely the tie semantics: NTILE splits equal
+    ppl values across adjacent buckets to equalize counts, the cutoff
+    path sends the whole tie group to the lower bucket.  Assertions:
+    (1) the sketch plan contains no ntile window; (2) buckets are
+    monotone in (ppl, doc_id) within each language; (3) every
+    disagreeing doc sits exactly AT a cutoff boundary ppl; (4) overall
+    agreement >= 95%."""
+    from pdfminer_six_spark.ops.retrieval import ccnet_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = ccnet_buckets(docs, cutoffs="exact")
+    sketch = ccnet_buckets(docs, cutoffs="sketch")
+
+    plan = sketch._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" not in plan.lower()  # ('ntile' alone hits perceNTILE)
+    assert "percentile_approx" in plan.lower()
+
+    e = {r["doc_id"]: r for r in exact.collect()}
+    s = {r["doc_id"]: r for r in sketch.collect()}
+    assert set(e) == set(s) and len(e) > 100
+
+    # (2) monotone within language under the sketch assignment
+    bylang = {}
+    for r in s.values():
+        bylang.setdefault(r["pred_lang"], []).append(r)
+    for lang, rows in bylang.items():
+        rows.sort(key=lambda r: (r["ppl"], r["doc_id"]))
+        buckets = [r["bucket"] for r in rows]
+        assert buckets == sorted(buckets), lang
+
+    # (3)+(4) disagreements only at tie boundaries, and rare
+    # boundary ppls per language = the max ppl of each sketch bucket
+    boundary = {
+        (r["pred_lang"], r["bucket"]): None for r in s.values()
+    }
+    for r in s.values():
+        k = (r["pred_lang"], r["bucket"])
+        if boundary[k] is None or r["ppl"] > boundary[k]:
+            boundary[k] = r["ppl"]
+    boundary_ppls = {
+        (lang, boundary[(lang, b)])
+        for (lang, b) in boundary
+        if b < max(bb for (ll, bb) in boundary if ll == lang)
+    }
+    n_disagree = 0
+    for d in e:
+        if e[d]["bucket"] != s[d]["bucket"]:
+            n_disagree += 1
+            assert (s[d]["pred_lang"], s[d]["ppl"]) in boundary_ppls, e[d]
+    assert n_disagree <= 0.05 * len(e), n_disagree
 
 
 def test_streaming_quality_filter_composes(spark, tmp_path):
