@@ -339,34 +339,30 @@ def test_registry_order_contract():
     order = list(QUERIES)
     must_be_in_window = [
         "extract_transcripts", "extract_layout_boxes", "extract_images",
-        "training_pipeline", "media_features", "media_pipeline",
+        "training_pipeline", "media_features",
         "dedup_exact", "dedup_substring_spans", "dedup_span_excise",
         "dedup_jaccard_pairs", "dedup_minhash_lsh",
         "dedup_simhash", "dedup_simhash_verify", "dedup_clusters",
-        "dedup_decontaminate",
-        "deterministic_split", "group_sample",
+        "dedup_clusters_star", "dedup_decontaminate",
+        # r05 rotation: the five first-class corpus ops that had never
+        # had a driver row (VERDICT r04 next-round item 1)
+        "decontaminate_rate", "blocklist_filter", "c4_line_clean",
+        "ccnet_buckets", "source_upsample",
         "text_token_stats", "text_fingerprint", "text_language_id",
         "text_tfidf_top_terms", "text_top_terms_sketch", "text_quality",
-        "text_gopher_rules",
-        "text_length_quantiles", "ann_topk_cosine", "ann_lsh_topk",
-        "ann_lsh_verify", "ann_ivf_topk", "ann_ivf_verify",
-        "embedding_near_dups_blocked", "pii_redact", "paragraph_dedup",
+        "text_gopher_rules", "text_quality_classifier", "vocab_oov",
+        "ann_topk_cosine", "ann_lsh_verify", "ann_ivf_verify",
+        "embedding_near_dups_blocked", "embedding_near_dups",
+        "pii_redact", "paragraph_dedup",
         "corpus_mix", "pack_sequences", "semdedup_verify",
-        "chunk_documents", "text_quality_classifier",
-        # late-r04: dedup_clusters_star / embedding_near_dups ceded their
-        # slots to the two new retrieval ops (each shares its oracle SQL
-        # with an in-window sibling and stays pytest-pinned equal to it)
-        "ngram_lm_score", "bm25_search",
+        "chunk_documents", "ngram_lm_score", "bm25_search",
     ]
-    # the two newest corpus ops hold ex-rep slots near the window tail
-    # (ceded by session_window_agg / window_range_frame, both r03-green):
-    # inside the 50-entry window but allowed past 45, like clean_pipeline
-    for q in ("vocab_oov", "corpus_report"):
+    # composed pipelines + the round's rotating relational slots sit near
+    # the window tail: inside the 50-entry window but allowed past 45
+    for q in ("corpus_report", "clean_pipeline", "session_window_agg",
+              "window_range_frame"):
         assert order.index(q) < 50, q
     late = {q: order.index(q) for q in must_be_in_window
             if order.index(q) >= 45}
     assert not late, f"first-class queries past the driver window: {late}"
-    # the composed cleaning pipeline holds the last rotating slot — it
-    # must be inside the 50-entry window but is allowed past 45
-    assert order.index("clean_pipeline") < 50
     assert order[0] == "extract_transcripts"
