@@ -417,3 +417,69 @@ def test_score_job_lm_model_artifact(spark, tmp_path):
     b = {r["doc_id"]: (r["avg_nll"], r["ppl"])
          for r in spark.read.parquet(str(out2)).collect()}
     assert a == b and len(a) == 12 and all(v[0] is not None for v in a.values())
+
+
+def test_build_job_end_to_end_and_failure_injection_resume(spark, tmp_path):
+    """jobs/build.py — the composed corpus build (extract -> clean ->
+    dedup -> score -> pack) as one resumable artifact:
+
+    1. uninterrupted run produces packed sequences with sane invariants
+    2. a run crashed via --fail-after dedup, resumed with --resume,
+       SKIPS the committed stages (same _SUCCESS mtime — nothing was
+       recomputed or rewritten) and its final output is IDENTICAL to
+       the uninterrupted run's
+    """
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "jobs_build",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", "build.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+
+    pdf = transcripts_pandas(n_convs=20)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    inp = tmp_path / "build_in.parquet"
+    pdf.to_parquet(inp)
+
+    wd1, out1 = tmp_path / "wd1", tmp_path / "out1"
+    stats1 = job.run(spark, job.build_args([
+        "--input", str(inp), "--workdir", str(wd1), "--output", str(out1),
+        "--seq-len", "128",
+    ]))
+    assert all(stats1[s]["action"] == "computed" for s in job.STAGES)
+    final = spark.read.parquet(str(out1)).toPandas()
+    assert len(final) == stats1["final"]["rows"] > 0
+    # packing invariants: offsets inside the bin, counted tokens positive
+    assert (final.tok_offset >= 0).all() and (final.tok_offset < 128).all()
+    # lineage carries one row per computed stage
+    lineage = spark.read.parquet(str(wd1 / "lineage"))
+    assert lineage.count() == len(job.STAGES)
+
+    # ---- crash after stage 3, then resume ----
+    wd2, out2 = tmp_path / "wd2", tmp_path / "out2"
+    argv = ["--input", str(inp), "--workdir", str(wd2),
+            "--output", str(out2), "--seq-len", "128"]
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(spark, job.build_args(argv + ["--fail-after", "dedup"]))
+    committed = {p: os.path.getmtime(os.path.join(wd2, p, "_SUCCESS"))
+                 for p in ("01_extract", "02_clean", "03_dedup")}
+    assert not os.path.exists(out2)
+
+    stats2 = job.run(spark, job.build_args(argv + ["--resume"]))
+    assert [stats2[s]["action"] for s in job.STAGES] == (
+        ["skipped"] * 3 + ["computed"] * 2
+    )
+    for p, mtime in committed.items():
+        assert os.path.getmtime(os.path.join(wd2, p, "_SUCCESS")) == mtime
+    resumed = spark.read.parquet(str(out2)).toPandas()
+    cols = sorted(final.columns)
+    a = final[cols].sort_values(cols).reset_index(drop=True)
+    b = resumed[cols].sort_values(cols).reset_index(drop=True)
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(a, b)

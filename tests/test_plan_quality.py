@@ -233,36 +233,94 @@ def test_semdedup_pair_scan_is_equi_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+# Every BroadcastNestedLoopJoin the repo plans ON PURPOSE, with the
+# documented upper bound on its build (broadcast) side's ROW COUNT at
+# sf0.001 — asserted at runtime from the executed plan's SQL metrics, so
+# an allowlisted "1-row broadcast" that silently grows fails here
+# (VERDICT r04 next-round item 3).  `None` bounds mean "the full named
+# relation, by design": the intentionally-exact baselines whose build
+# side IS the corpus — those assert equality to the relation's count so
+# a planner change can't swap in some other subtree unnoticed.
+BNLJ_ALLOWED = {
+    # the range-join demonstration: 4-row literal band table
+    "range_join_bands": 4,
+    # 1-row corpus-size aggregate broadcast (TF-IDF pattern)
+    "text_tfidf_top_terms": 1,
+    # brute-force baseline: 3-query set broadcast against the corpus
+    "ann_topk_cosine": 3,
+    # named exact O(n^2) baseline: build side IS the embeddings relation
+    "embedding_near_dups": None,
+    # 1-row global min/max broadcast cross join
+    "histogram_totals": 1,
+    # queries(3) × centers(8): both tiny; corpus probe is an equi-join
+    "ann_ivf_topk": 8,
+    # corpus × 8 broadcast fixture centers for the assignment stage
+    "ann_ivf_verify": 8,
+    # same shape; dedup pair scan is an equi-join on cell id
+    # (asserted by test_semdedup_pair_scan_is_equi_join)
+    "semdedup_verify": 8,
+    # corpus × k=8 broadcast KMeans centers
+    "semdedup_kmeans": 8,
+    # 1-row vocab-size broadcast; model-count joins are equi-joins
+    "ngram_lm_score": 1,
+    # 1-row (n_docs, avgdl) stats broadcast; postings pruned by the
+    # broadcast query-term equi-join first
+    "bm25_search": 1,
+    # composes ngram_lm_scores, inheriting its 1-row vocab broadcast
+    "ccnet_buckets": 1,
+}
+
+
+def _walk_exec(node, out):
+    """Flatten an executed SparkPlan tree, descending through AQE
+    wrappers (AdaptiveSparkPlanExec / *QueryStageExec / ReusedExchange)."""
+    out.append(node)
+    name = node.getClass().getSimpleName()
+    kids = []
+    s = node.children()
+    for i in range(s.size()):
+        kids.append(s.apply(i))
+    if name == "AdaptiveSparkPlanExec":
+        kids.append(node.executedPlan())
+    elif name.endswith("QueryStageExec"):
+        kids.append(node.plan())
+    elif name == "ReusedExchangeExec":
+        kids.append(node.child())
+    for k in kids:
+        _walk_exec(k, out)
+    return out
+
+
+def _bnlj_build_rows(df):
+    """Execute ``df`` and return one runtime row count per
+    BroadcastNestedLoopJoin build side, read from the numOutputRows SQL
+    metric of the BroadcastExchange feeding it."""
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    counts = []
+    for node in _walk_exec(root, []):
+        if node.getClass().getSimpleName() != "BroadcastNestedLoopJoinExec":
+            continue
+        build_left = "BuildLeft" in node.buildSide().toString()
+        build = node.children().apply(0 if build_left else 1)
+        for sub in _walk_exec(build, []):
+            if sub.getClass().getSimpleName() == "BroadcastExchangeExec":
+                counts.append(
+                    int(sub.metrics().apply("numOutputRows").value())
+                )
+                break
+        else:  # pragma: no cover - a BNLJ always has a broadcast feed
+            raise AssertionError("BNLJ without a BroadcastExchange feed")
+    return counts
+
+
 def test_no_accidental_cartesian_or_nested_loop_joins(spark):
     """Repo-wide plan invariant: NO query compiles to a cartesian product,
-    and nested-loop joins appear only where they are the design:
-    range_join_bands (the range-join demonstration), the 1-row broadcast
-    corpus-size join in TF-IDF, and the two intentionally-exact
-    broadcast-side baselines (brute-force ANN, exact embedding pairs).
-    A new query accidentally planning O(n^2) fails here immediately."""
+    and nested-loop joins appear only where they are the design (the
+    BNLJ_ALLOWED table above).  A new query accidentally planning O(n^2)
+    fails here immediately."""
     from pdfminer_six_spark.queries import QUERIES
 
-    BNLJ_ALLOWED = {
-        "range_join_bands",
-        "text_tfidf_top_terms",
-        "ann_topk_cosine",
-        "embedding_near_dups",
-        "histogram_totals",  # 1-row min/max broadcast cross join
-        "ann_ivf_topk",  # queries × n_clusters centers: both tiny; the
-        # corpus-side probe join is still an equi-join on cell id
-        "ann_ivf_verify",  # corpus × 8 broadcast fixture centers for the
-        # assignment stage; candidate scoring is an equi-join on cell id
-        "semdedup_verify",  # same shape: corpus × 8 broadcast fixture
-        # centers for assignment; the dedup pair scan is an equi-join on
-        # cell id (asserted by test_semdedup_pair_scan_is_equi_join)
-        "semdedup_kmeans",  # corpus × k broadcast KMeans centers
-        "ngram_lm_score",  # 1-row vocab-size broadcast (TF-IDF pattern);
-        # both model-count joins are equi-joins on the bigram words
-        "bm25_search",  # 1-row (n_docs, avgdl) stats broadcast; postings
-        # are pruned by the broadcast query-term equi-join first
-        "ccnet_buckets",  # composes ngram_lm_scores, inheriting its
-        # 1-row vocab-size broadcast; all other joins are equi-joins
-    }
     offenders = {}
     for name, (fn, _sql) in QUERIES.items():
         plan = _plan(fn(spark, SF_DIR.replace("sf0.01", "sf0.001")))
@@ -271,6 +329,36 @@ def test_no_accidental_cartesian_or_nested_loop_joins(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_allowlisted_bnlj_build_sides_stay_within_bounds(spark):
+    """Teeth for the allowlist: each allowlisted query is EXECUTED at
+    sf0.001 and every BNLJ build side's runtime row count (from the
+    executed plan's SQL metrics) must stay within its documented bound.
+    An allowlisted '1-row broadcast' that silently grows fails here."""
+    import duckdb
+
+    from pdfminer_six_spark.queries import QUERIES
+
+    sf_dir = SF_DIR.replace("sf0.01", "sf0.001")
+    n_emb = duckdb.sql(
+        f"select count(*) from '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    violations = {}
+    for name, bound in BNLJ_ALLOWED.items():
+        fn, _sql = QUERIES[name]
+        counts = _bnlj_build_rows(fn(spark, sf_dir))
+        assert counts, f"{name}: allowlisted but plans no BNLJ — delist it"
+        for c in counts:
+            if bound is None:
+                # the named exact baseline: build side IS the relation
+                if c != n_emb:
+                    violations[name] = (c, f"== {n_emb}")
+            elif c > bound:
+                violations[name] = (c, f"<= {bound}")
+    assert not violations, (
+        f"BNLJ build side exceeded its documented bound: {violations}"
+    )
 
 
 def test_salted_agg_two_exchanges_and_skew_spread(spark):
