@@ -1157,6 +1157,68 @@ def test_streaming_dedup_drops_redelivered_turns(spark, tmp_path):
     assert texts == ["edited reply", "hello world", "new turn", "reply"]
 
 
+def test_streaming_dedup_equals_batch_dedup(spark, tmp_path):
+    """stream == batch for dedup (r04 VERDICT item 6): watermark-bounded
+    ``dropDuplicatesWithinWatermark`` over content fingerprints produces
+    the SAME unique-turn set as the batch fingerprint dedup on the same
+    duplicated corpus.  Survivor identity within a duplicate group is
+    compared on the fingerprint columns (which are equal for all group
+    members by definition), not on arrival metadata — the stream keeps
+    the first ARRIVAL, the batch keeps an arbitrary member."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.datagen.transcripts import transcripts_pandas
+    from pdfminer_six_spark.ops.dedup import normalized_text
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import streaming_dedup
+
+    pdf = transcripts_pandas(n_convs=12)
+    # every 4th turn is re-delivered 90s later (inside the watermark),
+    # with a whitespace variant that normalizes to the same fingerprint
+    dup = pdf.iloc[::4].copy()
+    dup["ts"] = dup["ts"] + pd.Timedelta(seconds=90)
+    dup["text"] = dup["text"].map(
+        lambda t: t.replace(" ", "  ") if isinstance(t, str) else t
+    )
+    dpdf = pd.concat([pdf, dup], ignore_index=True)
+    src = tmp_path / "sb_in"
+    spark.createDataFrame(dpdf).repartition(6).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup(stream, watermark="48 hours")
+        .writeStream.format("memory").queryName("sb_dedup")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    fp = F.md5(F.concat_ws(
+        "|", F.col("conv_id"), F.col("turn_idx").cast("string"),
+        normalized_text(F.col("text")),
+    ))
+    stream_keys = {
+        (r.conv_id, r.turn_idx, r.fpv)
+        for r in spark.table("sb_dedup")
+        .select("conv_id", "turn_idx", fp.alias("fpv")).collect()
+    }
+    batch_keys = {
+        (r.conv_id, r.turn_idx, r.fpv)
+        for r in spark.read.parquet(str(src))
+        .withColumn("fpv", fp).dropDuplicates(["fpv"])
+        .select("conv_id", "turn_idx", "fpv").collect()
+    }
+    assert stream_keys == batch_keys
+    assert len(stream_keys) == len(pdf)  # exactly the originals survive
+    assert spark.table("sb_dedup").count() == len(pdf)
+
+
 def test_streaming_session_window_with_watermark(spark, tmp_path):
     """Built-in session windows on a STREAM: watermarked per-conversation
     sessions close after the gap and emit once (append mode) — the
