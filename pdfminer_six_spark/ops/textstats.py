@@ -592,3 +592,178 @@ def winnow_fingerprints(
     return base.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
     )
+
+
+# Gopher repetition-filter thresholds (Rae et al. 2021, Table A1): a
+# document is `repetitive` when ANY signal exceeds its cutoff.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top": {2: 0.20, 3: 0.18, 4: 0.16},
+    "dup": {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10},
+}
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1): per-document
+    duplicate-line fractions plus n-gram character-coverage fractions —
+    the repetition half of the Gopher quality filter
+    (:func:`gopher_quality_rules` covers the length/symbol half).
+
+    Emitted per doc: ``n_lines``, ``dup_line_frac`` (fraction of
+    non-empty lines that are repeats), ``dup_line_char_frac`` (fraction
+    of line characters inside lines occurring more than once),
+    ``top{n}_char_frac`` for each n in ``top_ns`` (largest character
+    coverage of any single REPEATED word n-gram — count x gram length
+    over the normalized text length; grams occurring once are excluded,
+    else every short document's longest unique n-gram trivially exceeds
+    the Gopher cutoffs that were calibrated on long pages),
+    ``dup{n}_char_frac`` for each n in
+    ``dup_ns`` (character coverage of ALL n-grams occurring more than
+    once — the standard overlap-naive approximation), and the combined
+    ``repetitive`` verdict against the Gopher Table A1 cutoffs.
+
+    Scale design: line stats are scan-local (array ops inside the row,
+    O(lines^2) string equality on a PROJECTED array — never re-evaluated
+    per element).  The n-gram counts are the one shuffle: all requested
+    n sizes ride ONE exploded relation keyed (id, n, xxhash64(gram),
+    len(gram)) — the gram string itself never shuffles, and a doc's
+    repeated grams collapse map-side (a row's explosion stays in its
+    partition), so post-partial traffic is distinct-grams-per-doc x ~24
+    bytes.  Group keys include the gram LENGTH, so a 64-bit hash
+    collision can merge counts only for equal-length grams (coverage
+    arithmetic stays within one gram-length class; documented
+    ~n_grams^2/2^65 residual risk, the duplicate_spans precedent).
+    Fractions are single int/int divisions in a fixed order — the same
+    IEEE double both engines produce bit-identically (no rounding; see
+    _sql_quality's discipline note).
+    """
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col),
+        normalized_text(text).alias("_norm"),
+        F.filter(
+            F.split(text, "\n"), lambda l: F.trim(l) != ""
+        ).alias("_lines"),
+    ).select(
+        id_col,
+        F.length("_norm").alias("_norm_len"),
+        "_lines",
+        tokens_col(F.col("_norm")).alias("_toks"),
+    )
+
+    lines = F.col("_lines")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_line_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, l: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == l)) > 1, F.length(l)
+        ).otherwise(F.lit(0)),
+    )
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+
+    t = F.col("_toks")
+
+    def _gram_structs(n: int):
+        m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        arrs = [F.slice(t, i + 1, m) for i in range(n)]
+        grams = arrs[0]
+        for arr in arrs[1:]:
+            grams = F.zip_with(grams, arr, lambda a, b: F.concat_ws(" ", a, b))
+        grams = F.when(F.size(t) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+        return F.transform(
+            grams,
+            lambda g: F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(g).alias("gh"),
+                F.length(g).alias("glen"),
+            ),
+        )
+
+    exploded = base.select(
+        id_col,
+        F.explode(F.concat(*[_gram_structs(n) for n in all_ns])).alias("g"),
+    ).select(id_col, "g.n", "g.gh", "g.glen")
+    per_gram = exploded.groupBy(id_col, "n", "gh", "glen").agg(
+        F.count("*").alias("cnt")
+    )
+    per_n = per_gram.groupBy(id_col, "n").agg(
+        F.max(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.col("glen"))
+        ).alias("top_cover"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("glen"))),
+            F.lit(0),
+        ).alias("dup_cover"),
+    )
+    covers = per_n.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_cover"))).alias(
+                f"_top{n}"
+            )
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("n") == n, F.col("dup_cover"))).alias(
+                f"_dup{n}"
+            )
+            for n in dup_ns
+        ],
+    )
+
+    joined = base.join(covers, id_col, "left")
+    denom = F.col("_norm_len").cast("double")
+    frac_cols = {}
+    for n in top_ns:
+        frac_cols[f"top{n}_char_frac"] = F.when(
+            (F.col("_norm_len") > 0) & F.col(f"_top{n}").isNotNull(),
+            F.col(f"_top{n}").cast("double") / denom,
+        ).otherwise(F.lit(0.0))
+    for n in dup_ns:
+        frac_cols[f"dup{n}_char_frac"] = F.when(
+            (F.col("_norm_len") > 0) & F.col(f"_dup{n}").isNotNull(),
+            F.col(f"_dup{n}").cast("double") / denom,
+        ).otherwise(F.lit(0.0))
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - n_distinct).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        line_chars > 0,
+        dup_line_chars.cast("double") / line_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    th = GOPHER_REPETITION_THRESHOLDS
+    out = joined.select(
+        id_col,
+        n_lines.cast("int").alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+        *[frac_cols[f"top{n}_char_frac"].alias(f"top{n}_char_frac")
+          for n in top_ns],
+        *[frac_cols[f"dup{n}_char_frac"].alias(f"dup{n}_char_frac")
+          for n in dup_ns],
+    )
+    verdict = (
+        (F.col("dup_line_frac") > th["dup_line_frac"])
+        | (F.col("dup_line_char_frac") > th["dup_line_char_frac"])
+    )
+    for n in top_ns:
+        verdict = verdict | (F.col(f"top{n}_char_frac") > th["top"][n])
+    for n in dup_ns:
+        verdict = verdict | (F.col(f"dup{n}_char_frac") > th["dup"][n])
+    return out.withColumn("repetitive", verdict)

@@ -2244,6 +2244,110 @@ FROM feats
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher repetition signals (ops.textstats.repetition_signals —
+    Rae et al. 2021 Table A1): duplicate-line fractions + n-gram
+    character-coverage fractions + the combined `repetitive` verdict.
+    Fully oracled: fractions are single int/int IEEE divisions in a
+    fixed order (the _sql_quality no-ROUND discipline)."""
+    return textstats.repetition_signals(
+        _t(spark, sf_dir, "documents"), top_ns=(2, 3, 4), dup_ns=(5, 10)
+    )
+
+
+def _sql_repetition(top_ns=(2, 3, 4), dup_ns=(5, 10)) -> str:
+    """Mirror of textstats.repetition_signals: same normalization, same
+    gram construction, same single-division fraction arithmetic.  DuckDB
+    groups gram counts by the gram STRING where Spark groups by
+    (xxhash64, length) — identical counts absent a same-length 64-bit
+    collision (the documented duplicate_spans-class residual risk)."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    th = textstats.GOPHER_REPETITION_THRESHOLDS
+    gram_branches = "\n    UNION ALL\n".join(
+        f"""    SELECT doc_id, {n} AS n,
+           UNNEST(CASE WHEN len(t) >= {n}
+                  THEN [array_to_string(t[i+1:i+{n}], ' ')
+                        FOR i IN RANGE(0, len(t) - {n - 1})]
+                  ELSE CAST([] AS VARCHAR[]) END) AS gram
+    FROM toks"""
+        for n in all_ns
+    )
+    cover_cols = ",\n         ".join(
+        [f"MAX(CASE WHEN n = {n} THEN top_cover END) AS top{n}"
+         for n in top_ns]
+        + [f"MAX(CASE WHEN n = {n} THEN dup_cover END) AS dup{n}"
+           for n in dup_ns]
+    )
+    frac_sel = []
+    for n in top_ns:
+        frac_sel.append(
+            f"CASE WHEN norm_len > 0 AND top{n} IS NOT NULL THEN "
+            f"CAST(top{n} AS DOUBLE) / CAST(norm_len AS DOUBLE) "
+            f"ELSE 0.0 END AS top{n}_char_frac"
+        )
+    for n in dup_ns:
+        frac_sel.append(
+            f"CASE WHEN norm_len > 0 AND dup{n} IS NOT NULL THEN "
+            f"CAST(dup{n} AS DOUBLE) / CAST(norm_len AS DOUBLE) "
+            f"ELSE 0.0 END AS dup{n}_char_frac"
+        )
+    verdict_terms = [
+        f"dup_line_frac > {th['dup_line_frac']}",
+        f"dup_line_char_frac > {th['dup_line_char_frac']}",
+    ]
+    verdict_terms += [f"top{n}_char_frac > {th['top'][n]}" for n in top_ns]
+    verdict_terms += [f"dup{n}_char_frac > {th['dup'][n]}" for n in dup_ns]
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         LOWER(REGEXP_REPLACE(TRIM(COALESCE(text, '')), '\\s+', ' ', 'g'))
+           AS norm,
+         list_filter(string_split(COALESCE(text, ''), chr(10)),
+                     l -> TRIM(l) <> '') AS lines
+  FROM documents),
+toks AS (
+  SELECT doc_id, length(norm) AS norm_len, lines,
+         list_filter(regexp_split_to_array(norm, '\\s+'), x -> x <> '') AS t
+  FROM base),
+grams AS (
+{gram_branches}),
+counts AS (
+  SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, n, gram),
+per_n AS (
+  SELECT doc_id, n,
+         MAX(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS top_cover,
+         COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0)
+           AS dup_cover
+  FROM counts GROUP BY doc_id, n),
+covers AS (
+  SELECT doc_id,
+         {cover_cols}
+  FROM per_n GROUP BY doc_id),
+lstats AS (
+  SELECT doc_id, norm_len,
+         len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_dist,
+         COALESCE(list_sum(list_transform(lines, l ->
+           CASE WHEN len(list_filter(lines, y -> y = l)) > 1
+                THEN length(l) ELSE 0 END)), 0) AS dup_line_chars,
+         COALESCE(list_sum(list_transform(lines, l -> length(l))), 0)
+           AS line_chars
+  FROM toks),
+fracs AS (
+  SELECT l.doc_id,
+         CAST(l.n_lines AS INTEGER) AS n_lines,
+         CASE WHEN l.n_lines > 0 THEN
+           CAST(l.n_lines - l.n_dist AS DOUBLE) / CAST(l.n_lines AS DOUBLE)
+         ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN l.line_chars > 0 THEN
+           CAST(l.dup_line_chars AS DOUBLE) / CAST(l.line_chars AS DOUBLE)
+         ELSE 0.0 END AS dup_line_char_frac,
+         {', '.join(frac_sel)}
+  FROM lstats l LEFT JOIN covers c USING (doc_id))
+SELECT *, ({' OR '.join(verdict_terms)}) AS repetitive FROM fracs
+"""
+
+
 def q_language_id(spark, sf_dir):
     return textstats.language_id(_t(spark, sf_dir, "documents")).select(
         "doc_id", "pred_lang"
@@ -3361,6 +3465,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "group_sample": (q_group_sample, _SQL_GROUP_SAMPLE),
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),
     "text_rollfp_candidates": (q_rollfp_candidates, _SQL_ROLLFP_CANDIDATES),
+    "text_repetition": (q_text_repetition, _sql_repetition()),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

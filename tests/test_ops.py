@@ -2238,3 +2238,55 @@ def test_winnow_fingerprints_guarantees(spark):
     # shared >= k+w-1 substring -> guaranteed common fingerprint
     assert got[1] & got[2]
     assert not (got[3] & got[1])
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition signals against hand-computed fixtures: dup-line
+    fractions, top/dup n-gram character coverage, verdicts, and the
+    empty/short-doc edges."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import repetition_signals
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            # d1: 'same line' x3 + one unique line -> dup_line_frac 2/4,
+            # dup_line_char_frac 27/(27+10)
+            "same line\nsame line\nsame line\nunique one",
+            # d2: 'spam spam spam spam' -> norm len 19; top2 gram
+            # 'spam spam' occurs 3x, covers 27/19 (>1: overlap-naive) ->
+            # repetitive
+            "spam spam spam spam",
+            # d3: clean prose, all lines and grams unique
+            "alpha beta gamma\ndelta epsilon zeta eta",
+            # d4: NULL text -> all zeros
+            None,
+        ],
+    }))
+    rows = {r["doc_id"]: r.asDict()
+            for r in repetition_signals(docs).collect()}
+
+    d1 = rows[1]
+    assert d1["n_lines"] == 4
+    assert d1["dup_line_frac"] == pytest.approx(2 / 4)
+    assert d1["dup_line_char_frac"] == pytest.approx(27 / 37)
+    assert d1["repetitive"] is True  # dup_line_frac 0.5 > 0.30
+
+    d2 = rows[2]
+    assert d2["top2_char_frac"] == pytest.approx(3 * 9 / 19)
+    # every 2-gram is 'spam spam' (cnt 3 > 1): dup coverage == top
+    assert d2["repetitive"] is True
+
+    d3 = rows[3]
+    assert d3["dup_line_frac"] == 0.0
+    assert d3["dup5_char_frac"] == 0.0
+    assert d3["repetitive"] is False
+    # unique grams never count toward top coverage (cnt > 1 required)
+    assert d3["top2_char_frac"] == 0.0
+
+    d4 = rows[4]
+    assert d4["n_lines"] == 0 and d4["repetitive"] is False
+    assert all(
+        d4[k] == 0.0 for k in d4 if k.endswith("_frac")
+    )
