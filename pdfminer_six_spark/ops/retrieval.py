@@ -332,3 +332,113 @@ def ccnet_buckets(
     return joined.select(
         id_col, "pred_lang", "ppl", bucket.cast("long").alias("bucket")
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    hashed_buckets: int | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023): score every raw document by how much more likely its n-gram
+    features are under the TARGET distribution than under the raw
+    corpus's own distribution —
+
+        log w(x) = sum_f c_x(f) * (ln p_t(f) - ln q_r(f))
+
+    with add-one smoothing over the union feature vocabulary:
+    ``p_t(f) = (ct+1)/(Tt+V)``, ``q_r(f) = (cr+1)/(Tr+V)``.  Features
+    are word unigrams plus (default) bigrams of the normalized text.
+
+    Exact path (``hashed_buckets=None``): features are the n-gram
+    strings themselves — fully SQL-expressible, the oracle path.
+    Scale path (``hashed_buckets=k``): the paper's hashed estimator —
+    features map to ``pmod(xxhash64(feat), k)`` BEFORE any aggregation,
+    bounding the model table at k rows regardless of vocabulary (k=10^4
+    in the paper).  With k far above the vocabulary size the hashed
+    weights equal the exact ones except for rare collisions
+    (pytest-pinned differential); V is always the count of DISTINCT
+    OBSERVED features, so both paths smooth over the same support.
+
+    Scale design: one shuffle builds the model (union of both corpora's
+    features, conditionally counted per side), one 1-row scalar
+    aggregate (Tt, Tr, V) rides a broadcast crossJoin onto the PER-DOC
+    aggregate (never the feature relation), and scoring is an equi-join
+    of per-doc feature counts against the model.  Per-doc counts
+    collapse map-side (a row's explosion stays in its partition).
+
+    Returns ``(id_col, n_feats, log_w)``; documents with zero features
+    drop out (no defined weight — the ngram_lm <2-token precedent).
+    ``log_w`` rounds to 6 decimals: the per-doc sum of logs is
+    shuffle-order-dependent in the last ulp (same discipline as
+    ngram_lm_scores).
+    """
+
+    def feats(df: DataFrame):
+        toks = tokens_col(normalized_text(F.col(text_col)))
+        bg = F.transform(
+            _bigrams(toks), lambda b: F.concat_ws(" ", b["w1"], b["w2"])
+        )
+        fcol = F.concat(toks, bg) if bigrams else toks
+        out = df.select(F.col(id_col), F.explode(fcol).alias("feat"))
+        if hashed_buckets is not None:
+            out = out.select(
+                id_col,
+                F.pmod(F.xxhash64("feat"), F.lit(hashed_buckets)).alias(
+                    "feat"
+                ),
+            )
+        return out
+
+    tagged = feats(target).select(
+        "feat", F.lit(1).alias("is_t"), F.lit(0).alias("is_r")
+    ).unionAll(
+        feats(raw).select(
+            "feat", F.lit(0).alias("is_t"), F.lit(1).alias("is_r")
+        )
+    )
+    model = tagged.groupBy("feat").agg(
+        F.sum("is_t").alias("ct"), F.sum("is_r").alias("cr")
+    )
+    scalars = model.agg(
+        F.sum("ct").alias("tt"),
+        F.sum("cr").alias("tr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = model.select(
+        "feat",
+        (
+            F.log(F.col("ct").cast("double") + 1.0)
+            - F.log(F.col("cr").cast("double") + 1.0)
+        ).alias("llr"),
+    )
+    doc_feats = feats(raw).groupBy(id_col, "feat").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = (
+        doc_feats.join(llr, "feat")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("llr")).alias("_core"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            "n_feats",
+            F.round(
+                F.col("_core")
+                - F.col("n_feats").cast("double")
+                * (
+                    F.log(F.col("tt").cast("double") + F.col("v"))
+                    - F.log(F.col("tr").cast("double") + F.col("v"))
+                ),
+                6,
+            ).alias("log_w"),
+        )
+    )

@@ -767,3 +767,63 @@ def repetition_signals(
     for n in dup_ns:
         verdict = verdict | (F.col(f"dup{n}_char_frac") > th["dup"][n])
     return out.withColumn("repetitive", verdict)
+
+
+def bpe_pair_stats(
+    df: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge statistics (Sennrich et al. 2016 — the
+    counting step of one BPE iteration): frequency of every adjacent
+    CHARACTER pair across the corpus, each word's pairs weighted by the
+    word's corpus frequency.  Emits the top-k pairs as
+    ``(left, right, pair_count, merged)`` — the candidates the first
+    merge would pick; iterating merge+recount induces a full tokenizer.
+
+    Scale design: the corpus collapses to its WORD FREQUENCY table first
+    (one shuffle, map-side combinable — the universal trick that makes
+    BPE training corpus-size-independent: pair counting then runs over
+    distinct words x their weights, typically 10^5-10^6 rows no matter
+    how many TB the corpus is).  Pair positions explode from a projected
+    word column (sequence + substr — per-row local), the pair count is a
+    second small aggregation, and top-k is a TakeOrderedAndProject
+    (never a global sort).  All counts are exact integers with a total
+    deterministic order (count desc, left, right) — no float discipline
+    needed."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    w = F.col("w")
+    # filter BEFORE the explode: sequence(1, 0) would step BACKWARD for
+    # 1-char words instead of producing an empty list
+    pairs = words.filter(F.length(w) >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: F.struct(
+                    w.substr(i, F.lit(1)).alias("left"),
+                    w.substr(i + 1, F.lit(1)).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    )
+    counts = pairs.groupBy("p.left", "p.right").agg(
+        F.sum("wc").alias("pair_count")
+    )
+    return (
+        counts.orderBy(
+            F.col("pair_count").desc(), F.col("left"), F.col("right")
+        )
+        .limit(k)
+        .select(
+            "left",
+            "right",
+            "pair_count",
+            F.concat("left", "right").alias("merged"),
+        )
+    )

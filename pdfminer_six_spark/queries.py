@@ -3241,6 +3241,107 @@ JOIN ({lang_inner}) l ON lm.doc_id = l.ld
 """
 
 
+def q_bpe_pair_stats(spark, sf_dir):
+    """First BPE merge iteration's pair statistics
+    (ops.textstats.bpe_pair_stats): top-20 adjacent character pairs over
+    the word-frequency table — exact integer counts with a total
+    deterministic order, so the top-k set is oracle-stable."""
+    return textstats.bpe_pair_stats(_t(spark, sf_dir, "documents"), k=20)
+
+
+_SQL_BPE_PAIRS = """
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+words AS (
+  SELECT w, COUNT(*) AS wc
+  FROM (SELECT UNNEST(t) AS w FROM toks) GROUP BY w),
+idx AS (
+  SELECT w, wc, UNNEST(range(1, length(w))) AS i
+  FROM words WHERE length(w) >= 2),
+counts AS (
+  SELECT w[i] AS "left", w[i+1] AS "right",
+         CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM idx GROUP BY 1, 2)
+SELECT "left", "right", pair_count, "left" || "right" AS merged
+FROM counts
+ORDER BY pair_count DESC, "left", "right"
+LIMIT 20
+"""
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (ops.retrieval.dsir_weights — Xie et al.
+    NeurIPS 2023): every document scored by the add-one-smoothed
+    log-likelihood ratio of its unigram+bigram features under the
+    target distribution (here: the English slice of the corpus) vs the
+    raw corpus distribution.  Exact feature path (the oracle); the
+    hashed-bucket estimator is the pytest-pinned scale variant."""
+    from pdfminer_six_spark.ops import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection: keep the documents whose importance weight is
+    positive (more target-like than the raw average) — the
+    threshold-based deterministic variant of the paper's importance
+    resampling (a top-k cut would let last-ulp rounding at the boundary
+    flip membership between engines; a fixed threshold only risks docs
+    whose true weight sits within 1e-6 of it)."""
+    from pdfminer_six_spark.ops import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    w = retrieval.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+    return w.filter(F.col("log_w") > 0).select("doc_id", "log_w")
+
+
+# Both engines: ct = target (en) occurrences, cr = raw occurrences of
+# each unigram/bigram feature; V = distinct features; log_w =
+# sum(c*(ln(ct+1)-ln(cr+1))) - N*(ln(Tt+V)-ln(Tr+V)) — algebraically the
+# smoothed sum of c*(ln p_t - ln q_r) with the scalar terms factored so
+# the model join stays scalar-free.  6-decimal round on the
+# order-dependent log sum (the ngram_lm discipline).
+_SQL_DSIR = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, UNNEST(
+    CASE WHEN len(t) >= 2
+         THEN list_concat(t, [array_to_string(t[i+1:i+2], ' ')
+                              FOR i IN RANGE(0, len(t) - 1)])
+         ELSE t END) AS feat
+  FROM toks),
+model AS (
+  SELECT feat,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct,
+         COUNT(*) AS cr
+  FROM feats GROUP BY feat),
+docf AS (SELECT doc_id, feat, COUNT(*) AS cnt FROM feats GROUP BY 1, 2),
+perdoc AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.cnt) AS BIGINT) AS n_feats,
+         SUM(d.cnt * (ln(m.ct + 1.0) - ln(m.cr + 1.0))) AS core
+  FROM docf d JOIN model m USING (feat) GROUP BY 1),
+scal AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS v FROM model)
+SELECT doc_id, n_feats,
+       ROUND(core - n_feats * (ln(tt + CAST(v AS DOUBLE))
+                               - ln(tr + CAST(v AS DOUBLE))), 6) AS log_w
+FROM perdoc CROSS JOIN scal
+"""
+
+_SQL_DSIR_SELECT = f"""
+SELECT doc_id, log_w FROM ({_SQL_DSIR}) WHERE log_w > 0
+"""
+
+
 def q_bm25_search(spark, sf_dir):
     """Okapi BM25 top-5 retrieval (ops.retrieval.bm25_topk) for a fixed
     3-query workload over the documents corpus.  The query set
@@ -3466,6 +3567,9 @@ QUERIES: Dict[str, QuerySpec] = {
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),
     "text_rollfp_candidates": (q_rollfp_candidates, _SQL_ROLLFP_CANDIDATES),
     "text_repetition": (q_text_repetition, _sql_repetition()),
+    "dsir_importance": (q_dsir_importance, _SQL_DSIR),
+    "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
+    "bpe_pair_stats": (q_bpe_pair_stats, _SQL_BPE_PAIRS),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

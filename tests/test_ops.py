@@ -2290,3 +2290,61 @@ def test_repetition_signals_hand_computed(spark):
     assert all(
         d4[k] == 0.0 for k in d4 if k.endswith("_frac")
     )
+
+
+def test_dsir_hashed_estimator_matches_exact_and_discriminates(spark):
+    """DSIR (Xie et al. 2023): with a bucket count far above the
+    vocabulary, the hashed estimator equals the exact path to float
+    precision (no collisions, same observed support); and on a corpus
+    with a distinct target dialect, target-like raw docs score strictly
+    above off-target docs under both paths."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.retrieval import dsir_weights
+
+    target_texts = [f"law court judge ruling appeal case{i % 3}"
+                    for i in range(8)]
+    lawish = [f"court ruling appeal {i}" for i in range(4)]
+    sporty = [f"goal match striker season {i}" for i in range(4)]
+    raw = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(8), "text": lawish + sporty,
+    }))
+    target = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100, 108), "text": target_texts,
+    }))
+
+    exact = {r["doc_id"]: r["log_w"]
+             for r in dsir_weights(raw, target).collect()}
+    hashed = {r["doc_id"]: r["log_w"]
+              for r in dsir_weights(
+                  raw, target, hashed_buckets=1 << 40).collect()}
+    assert set(exact) == set(hashed) == set(range(8))
+    for d in exact:
+        assert hashed[d] == pytest.approx(exact[d], abs=2e-6)
+    # discrimination: every law-ish doc outscores every sporty doc
+    assert min(exact[d] for d in range(4)) > max(exact[d] for d in range(4, 8))
+    # small bucket count still runs and keeps the doc set (collisions
+    # merge features, they don't drop documents)
+    small = dsir_weights(raw, target, hashed_buckets=16)
+    assert small.count() == 8
+
+
+def test_bpe_pair_stats_hand_computed(spark):
+    """BPE pair counting on a tiny corpus with hand-counted pair
+    frequencies, word-frequency weighting, and the deterministic
+    (count desc, left, right) top-k order."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import bpe_pair_stats
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        # words: 'abab' x3, 'ab' x2, 'ba' x1, 'x' x1 (1-char: no pairs)
+        "text": ["abab abab ab", "abab ab ba x"],
+    }))
+    rows = [(r["left"], r["right"], r["pair_count"], r["merged"])
+            for r in bpe_pair_stats(docs, k=10).collect()]
+    # 'abab': pairs ab,ba,ab -> per word (ab:2, ba:1), x3
+    # 'ab': ab x1, x2 ; 'ba': ba x1
+    # totals: ab = 2*3 + 2 = 8, ba = 1*3 + 1 = 4
+    assert rows == [("a", "b", 8, "ab"), ("b", "a", 4, "ba")]

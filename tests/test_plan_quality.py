@@ -268,6 +268,10 @@ BNLJ_ALLOWED = {
     "bm25_search": 1,
     # composes ngram_lm_scores, inheriting its 1-row vocab broadcast
     "ccnet_buckets": 1,
+    # 1-row (Tt, Tr, V) scalar broadcast onto the per-doc aggregate —
+    # never onto the feature relation
+    "dsir_importance": 1,
+    "dsir_select": 1,
 }
 
 
