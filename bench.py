@@ -101,6 +101,10 @@ def main() -> None:
         "dedup_substring_spans",
         "ngram_lm_score",
         "bm25_search",
+        # round-5 additions
+        "ccnet_buckets",
+        "text_repetition",
+        "dsir_importance",
     ]
     for _ in range(repeats):
         for name in suite:

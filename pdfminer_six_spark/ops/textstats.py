@@ -827,3 +827,104 @@ def bpe_pair_stats(
             F.concat("left", "right").alias("merged"),
         )
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift per source: KL(p_source || p_corpus) over
+    add-one-smoothed unigram distributions — the corpus-card diagnostic
+    that surfaces a source whose token distribution departs from the
+    corpus (a scraping bug, a language shift, boilerplate flooding).
+
+    Smoothing is over the full union vocabulary, so the divergence is an
+    exact KL between two proper distributions: p_s(t) = (cs+1)/(Ts+V),
+    p_c(t) = (c+1)/(T+V), summed over EVERY vocab token for every source
+    (absent tokens contribute their smoothed mass).  The dense term
+    relation is #sources x V rows of pure arithmetic — with the handful
+    of sources a corpus mix has, that is one extra vocab scan per
+    source and embarrassingly parallel; for a pathological #sources,
+    restrict to each source's support and bound the remainder instead.
+
+    Scale shape: one shuffle builds (source, tok) counts, the vocab
+    relation derives from it, sources (few rows: Ts per source) ride a
+    broadcast, scalars (T, V) ride a 1-row broadcast.  Emits
+    ``(source, n_tokens, kl)``; kl rounds to 6 decimals (order-dependent
+    log sum, the ngram_lm discipline)."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    st = df.select(F.col(group_col).alias("src"), F.explode(toks).alias("t"))
+    cs = st.groupBy("src", "t").agg(F.count(F.lit(1)).alias("cs"))
+    vocab = cs.groupBy("t").agg(F.sum("cs").alias("c"))
+    sources = cs.groupBy("src").agg(F.sum("cs").alias("ts"))
+    scalars = vocab.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v")
+    )
+    dense = (
+        vocab.crossJoin(F.broadcast(sources))
+        .join(cs, ["src", "t"], "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    ps = (F.coalesce(F.col("cs"), F.lit(0)).cast("double") + 1.0) / (
+        F.col("ts").cast("double") + F.col("v")
+    )
+    pc = (F.col("c").cast("double") + 1.0) / (
+        F.col("tot").cast("double") + F.col("v")
+    )
+    terms = dense.select(
+        "src", "ts", (ps * (F.log(ps) - F.log(pc))).alias("term")
+    )
+    return (
+        terms.groupBy("src", "ts")
+        .agg(F.round(F.sum("term"), 6).alias("kl"))
+        .select(
+            F.col("src").alias(group_col),
+            F.col("ts").alias("n_tokens"),
+            "kl",
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word n-grams that appear in no other document — the inverse
+    of the memorization/overlap metrics of the ExactSubstr dedup line of
+    work (Lee et al. 2022): novelty 1.0 = nothing shared, 0.0 = every
+    n-gram also lives elsewhere.
+
+    Shares dedup.shingles' construction (zip_with slices, per-doc
+    distinct inside the row), so the cross-doc frequency is one
+    map-side-combinable aggregation over (shingle) and the per-doc
+    verdict one more over (doc_id).  Emits ``(id_col, n_grams,
+    n_novel, novelty)``; the fraction is a single int/int division
+    (no rounding needed).  Documents with no n-grams (shorter than n
+    tokens yields the whole-text gram, so only empty docs) drop out."""
+    from pdfminer_six_spark.ops.dedup import shingles
+
+    sh = shingles(df, text_col=text_col, n=n)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        F.col("n_novel").cast("long").alias("n_novel"),
+        (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
+        .alias("novelty"),
+    )

@@ -3241,6 +3241,75 @@ JOIN ({lang_inner}) l ON lm.doc_id = l.ld
 """
 
 
+def q_source_kl(spark, sf_dir):
+    """Per-source distribution drift (ops.textstats.source_kl_divergence):
+    KL(p_source || p_corpus) over add-one-smoothed unigram distributions,
+    summed over the full union vocabulary — the corpus-card diagnostic
+    for a source whose token mix departs from the corpus."""
+    return textstats.source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
+_SQL_SOURCE_KL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+st AS (SELECT source AS src, UNNEST(t) AS t FROM toks),
+cs AS (SELECT src, t, COUNT(*) AS cs FROM st GROUP BY 1, 2),
+vocab AS (SELECT t, CAST(SUM(cs) AS BIGINT) AS c FROM cs GROUP BY 1),
+srcs AS (SELECT src, CAST(SUM(cs) AS BIGINT) AS ts FROM cs GROUP BY 1),
+scal AS (SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS v FROM vocab),
+terms AS (
+  SELECT s.src, s.ts,
+         ((COALESCE(cs.cs, 0) + 1.0) / (CAST(s.ts AS DOUBLE) + scal.v))
+           * (ln((COALESCE(cs.cs, 0) + 1.0)
+                 / (CAST(s.ts AS DOUBLE) + scal.v))
+              - ln((vc.c + 1.0) / (CAST(scal.tot AS DOUBLE) + scal.v)))
+           AS term
+  FROM vocab vc
+  CROSS JOIN srcs s
+  LEFT JOIN cs ON cs.src = s.src AND cs.t = vc.t
+  CROSS JOIN scal)
+SELECT src AS source, ts AS n_tokens, ROUND(SUM(term), 6) AS kl
+FROM terms GROUP BY src, ts
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (ops.textstats.ngram_novelty): the
+    fraction of a doc's distinct 8-grams appearing in no other document
+    — the inverse of ExactSubstr-style overlap metrics."""
+    return textstats.ngram_novelty(_t(spark, sf_dir, "documents"), n=8)
+
+
+_SQL_NGRAM_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           UNNEST(CASE WHEN len(t) >= 8
+                  THEN [array_to_string(t[i+1:i+8], ' ')
+                        FOR i IN RANGE(0, len(t) - 7)]
+                  ELSE [array_to_string(t, ' ')] END) AS shingle
+    FROM toks) WHERE shingle <> ''),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
 def q_bpe_pair_stats(spark, sf_dir):
     """First BPE merge iteration's pair statistics
     (ops.textstats.bpe_pair_stats): top-20 adjacent character pairs over
@@ -3570,6 +3639,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "dsir_importance": (q_dsir_importance, _SQL_DSIR),
     "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     "bpe_pair_stats": (q_bpe_pair_stats, _SQL_BPE_PAIRS),
+    "source_kl": (q_source_kl, _SQL_SOURCE_KL),
+    "ngram_novelty": (q_ngram_novelty, _SQL_NGRAM_NOVELTY),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

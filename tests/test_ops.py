@@ -2348,3 +2348,46 @@ def test_bpe_pair_stats_hand_computed(spark):
     # 'ab': ab x1, x2 ; 'ba': ba x1
     # totals: ab = 2*3 + 2 = 8, ba = 1*3 + 1 = 4
     assert rows == [("a", "b", 8, "ab"), ("b", "a", 4, "ba")]
+
+
+def test_source_kl_divergence_properties(spark):
+    """KL drift diagnostic: a source whose token distribution matches the
+    corpus scores near zero; an off-distribution source scores clearly
+    higher; KL is always >= 0 (within the 6-decimal round)."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import source_kl_divergence
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(12),
+        "source": ["a"] * 5 + ["b"] * 5 + ["weird"] * 2,
+        "text": [common] * 10 + ["zzz qqq xxx vvv kkk zzz qqq"] * 2,
+    }))
+    kl = {r["source"]: r["kl"] for r in source_kl_divergence(docs).collect()}
+    assert set(kl) == {"a", "b", "weird"}
+    assert all(v >= -1e-6 for v in kl.values())
+    assert kl["a"] == kl["b"]  # identical distributions, identical drift
+    assert kl["weird"] > 10 * max(kl["a"], 1e-9)
+
+
+def test_ngram_novelty_hand_computed(spark):
+    """Novelty: a doc sharing every 8-gram with a twin scores 0; a fully
+    unique doc scores 1; short docs collapse to the whole-text gram."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import ngram_novelty
+
+    long_a = " ".join(f"w{i}" for i in range(12))
+    long_b = " ".join(f"u{i}" for i in range(12))
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [long_a, long_a, long_b, "tiny doc", "tiny doc"],
+    }))
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs, n=8).collect()}
+    assert rows[1]["n_grams"] == 5  # 12 - 8 + 1
+    assert rows[1]["novelty"] == 0.0 and rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 1.0
+    # <8-token docs fall back to the single whole-text gram
+    assert rows[4]["n_grams"] == 1 and rows[4]["novelty"] == 0.0
+    assert rows[5]["novelty"] == 0.0

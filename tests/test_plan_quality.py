@@ -272,6 +272,10 @@ BNLJ_ALLOWED = {
     # never onto the feature relation
     "dsir_importance": 1,
     "dsir_select": 1,
+    # vocab x sources dense KL term relation: the broadcast side is the
+    # per-source totals (one row per source — 20 in the testdata mix)
+    # plus the 1-row (T, V) scalar broadcast
+    "source_kl": 32,
 }
 
 
