@@ -3623,7 +3623,9 @@ QUERIES: Dict[str, QuerySpec] = {
     # oracle-sharing/weaker-signal variants, categories driver-green via
     # the in-window representative or a recent round.  r06 ROTATION
     # PRIORITY (stalest-first, all fully oracled and 3-SF-gated):
-    #   1. any NEW first-class op added late-r05 without a driver row
+    #   1. the six NEW r05 first-class corpus ops with no driver row yet:
+    #      text_repetition, dsir_importance, dsir_select, bpe_pair_stats,
+    #      source_kl, ngram_novelty
     #   2. deterministic_split, group_sample, text_length_quantiles,
     #      salted_agg, text_rollfp_candidates — r04-green, rotated out r05
     #   3. string_agg_nations, recursive_date_spine, stats_agg,
