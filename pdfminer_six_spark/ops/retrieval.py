@@ -341,6 +341,8 @@ def dsir_weights(
     id_col: str = "doc_id",
     bigrams: bool = True,
     hashed_buckets: int | None = None,
+    persist_model: bool = True,
+    model_handle: list | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al., NeurIPS
     2023): score every raw document by how much more likely its n-gram
@@ -372,6 +374,10 @@ def dsir_weights(
 
     Returns ``(id_col, n_feats, log_w)``; documents with zero features
     drop out (no defined weight — the ngram_lm <2-token precedent).
+    ``persist_model``/``model_handle`` follow the ngram_lm_scores cache
+    contract (the persisted feature-count table is model-sized; a
+    long-lived session scoring many inputs should unpersist via the
+    handle after its action).
     ``log_w`` rounds to 6 decimals: the per-doc sum of logs is
     shuffle-order-dependent in the last ulp (same discipline as
     ngram_lm_scores).
@@ -403,6 +409,17 @@ def dsir_weights(
     model = tagged.groupBy("feat").agg(
         F.sum("is_t").alias("ct"), F.sum("is_r").alias("cr")
     )
+    # the model relation feeds THREE consumers (llr, scalars) whose
+    # pruned subtrees don't ReuseExchange — unpersisted, each re-scans
+    # both corpora's text (measured 5 parquet scans in the plan).  The
+    # persisted table is vocab-sized (or k buckets), not corpus-sized —
+    # the ngram_lm_scores precedent, same unpersist contract via
+    # ``model_handle``.  With it the op reads target text once and raw
+    # text twice (model build + scoring).
+    if persist_model:
+        model = model.persist()
+        if model_handle is not None:
+            model_handle.append(model)
     scalars = model.agg(
         F.sum("ct").alias("tt"),
         F.sum("cr").alias("tr"),

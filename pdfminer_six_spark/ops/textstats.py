@@ -859,6 +859,8 @@ def source_kl_divergence(
     df: DataFrame,
     group_col: str = "source",
     text_col: str = "text",
+    persist_counts: bool = True,
+    counts_handle: list | None = None,
 ) -> DataFrame:
     """Distribution drift per source: KL(p_source || p_corpus) over
     add-one-smoothed unigram distributions — the corpus-card diagnostic
@@ -882,6 +884,15 @@ def source_kl_divergence(
     toks = tokens_col(normalized_text(F.col(text_col)))
     st = df.select(F.col(group_col).alias("src"), F.explode(toks).alias("t"))
     cs = st.groupBy("src", "t").agg(F.count(F.lit(1)).alias("cs"))
+    # cs feeds FOUR consumers (vocab, per-source totals, scalars, the
+    # dense term join) whose pruned subtrees don't ReuseExchange —
+    # unpersisted the corpus text is scanned 4x (measured in the plan).
+    # The persisted table is (sources x vocab)-sized, not corpus-sized
+    # (ngram_lm_scores precedent; unpersist via ``counts_handle``).
+    if persist_counts:
+        cs = cs.persist()
+        if counts_handle is not None:
+            counts_handle.append(cs)
     vocab = cs.groupBy("t").agg(F.sum("cs").alias("c"))
     sources = cs.groupBy("src").agg(F.sum("cs").alias("ts"))
     scalars = vocab.agg(
