@@ -105,6 +105,8 @@ def main() -> None:
         "ccnet_buckets",
         "text_repetition",
         "dsir_importance",
+        "dedup_incremental",
+        "clean_funnel",
     ]
     for _ in range(repeats):
         for name in suite:

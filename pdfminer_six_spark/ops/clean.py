@@ -26,6 +26,11 @@ __all__ = [
     "paragraph_dedup",
     "pack_sequences",
     "chunk_documents",
+    "blocklist_filter",
+    "c4_line_clean",
+    "source_upsample",
+    "funnel_report",
+    "token_budget_select",
 ]
 
 
@@ -377,3 +382,191 @@ def source_upsample(
     return df.select(
         id_col, source_col, F.explode(epochs).alias("epoch")
     )
+
+
+def funnel_report(
+    df: DataFrame,
+    text_col: str = "text",
+    blocklist: Sequence[str] = ("slow", "dup"),
+    min_words: int = 3,
+) -> DataFrame:
+    """Filter-funnel accounting: how many documents (and tokens) survive
+    each stage of the standard heuristic battery, computed in ONE corpus
+    scan.  Stages, in pipeline order: Gopher quality rules -> blocklist
+    -> C4 line cleaning (a doc survives stage 3 if at least one line
+    survives).  Output: one row per stage with docs/tokens entering and
+    surviving.
+
+    The 100 TB point of this operator is its shape: a naive funnel runs
+    k filters SEQUENTIALLY and counts after each — k scans (or a cached
+    intermediate per stage).  Here every stage's flag is a scan-local
+    projection over the same row (Catalyst collapses the composed
+    withColumns into one projection), cumulative survival is
+    flag-conjunction, and the whole report is one map-side-combinable
+    aggregate producing a single wide row reshaped to per-stage rows by
+    ``inline`` on a 1-row relation — one scan, one 6-column reduction,
+    no shuffle of any text."""
+    from pdfminer_six_spark.ops.textstats import gopher_quality_rules
+
+    feats = c4_line_clean(
+        blocklist_filter(
+            gopher_quality_rules(df, text_col), blocklist, text_col
+        ),
+        min_words,
+        text_col,
+    )
+    f1 = F.col("keep")
+    f2 = f1 & ~F.col("blocked")
+    f3 = f2 & (F.col("n_lines_kept") >= 1)
+    nt = F.col("n_tokens").cast("long")
+
+    def _kept(flag):
+        return F.sum(F.when(flag, nt).otherwise(F.lit(0)))
+
+    agg = feats.agg(
+        F.count("*").alias("n0"),
+        F.sum(nt).alias("t0"),
+        F.sum(f1.cast("long")).alias("n1"),
+        _kept(f1).alias("t1"),
+        F.sum(f2.cast("long")).alias("n2"),
+        _kept(f2).alias("t2"),
+        F.sum(f3.cast("long")).alias("n3"),
+        _kept(f3).alias("t3"),
+    )
+    names = ("gopher_keep", "blocklist", "c4_line")
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(names[i]).alias("stage"),
+                F.col(f"n{i}").alias("docs_in"),
+                F.col(f"t{i}").alias("tokens_in"),
+                F.col(f"n{i + 1}").alias("docs_kept"),
+                F.col(f"t{i + 1}").alias("tokens_kept"),
+            )
+            for i in range(3)
+        ]
+    )
+    return agg.select(F.inline(stages))
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "exact",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Token-budget curation (the FineWeb / RefinedWeb "keep the best N
+    tokens" step): order documents by ``score_col`` descending
+    (``id_col`` ascending breaks ties) and keep the prefix whose
+    cumulative whitespace-token count stays <= ``budget_tokens``.  The
+    first document that would overflow the budget is dropped, as is
+    everything after it.  Returns the selected input rows plus an
+    ``n_tokens`` column.
+
+    Two physical paths that return IDENTICAL rows:
+
+    * ``mode='exact'`` — one global running-sum window over
+      ``orderBy(score desc, id)``.  Single-task sort: the oracle/audit
+      path, the plan you do NOT run at 100 TB.
+
+    * ``mode='bucketed'`` — the 100x plan.  Score range -> ``n_buckets``
+      fixed-width buckets (monotone in score, so bucket order IS score
+      order and score ties always land in ONE bucket); per-bucket token
+      masses are a map-side-combinable aggregate collected to the driver
+      (O(n_buckets) rows — the sanctioned convergence-summary pattern).
+      The driver walks buckets top-down to find the single boundary
+      bucket; every higher bucket is kept by a scan-local filter (wide
+      rows never shuffle), and only the boundary bucket — expected
+      corpus/n_buckets of the data — pays an exact in-bucket running-sum
+      window over its (id, score, n_tokens) PROJECTION, whose keep-ids
+      come back as a broadcast semi-join.  Because buckets are monotone
+      and ties can't straddle them, bucketed == exact row-for-row (a
+      pytest-pinned differential), unlike ccnet's sketch cutoffs which
+      trade tie placement for scale.  Degenerate case: if every score is
+      equal (score range is a single point) all rows share one bucket
+      and the boundary window IS the global sort — same honest caveat as
+      equal-perplexity mass in ccnet_buckets.
+
+    Scale notes: two extra passes over the (id, score, n_tokens)
+    projection (range agg + bucket-mass agg), never over text; the
+    boundary keep-id broadcast is bounded by the budget remainder (one
+    id per surviving doc).
+    """
+    from pdfminer_six_spark.ops.textstats import tokens_col
+
+    base = df.withColumn(
+        "n_tokens",
+        F.size(tokens_col(F.coalesce(F.col(text_col), F.lit("")))).cast(
+            "long"
+        ),
+    )
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    if mode == "exact":
+        w = (
+            Window.orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            base.withColumn("_cum", F.sum("n_tokens").over(w))
+            .filter(F.col("_cum") <= budget_tokens)
+            .drop("_cum")
+        )
+    if mode != "bucketed":  # pragma: no cover - guarded API
+        raise ValueError(f"mode must be 'exact' or 'bucketed': {mode}")
+
+    proj = base.select(id_col, score_col, "n_tokens")
+    lo, hi = proj.agg(
+        F.min(score_col), F.max(score_col)
+    ).first()
+    if lo is None:  # empty input
+        return base.limit(0)
+    span = float(hi) - float(lo)
+    if span == 0.0:
+        bucket = F.lit(0)
+    else:
+        bucket = F.least(
+            F.floor(
+                (F.col(score_col).cast("double") - F.lit(float(lo)))
+                / F.lit(span)
+                * F.lit(n_buckets)
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int")
+    masses = {
+        r["_b"]: r["_m"]
+        for r in proj.withColumn("_b", bucket)
+        .groupBy("_b")
+        .agg(F.sum("n_tokens").alias("_m"))
+        .collect()
+    }
+    cum, boundary, remaining = 0, None, budget_tokens
+    for b in sorted(masses, reverse=True):
+        if cum + masses[b] > budget_tokens:
+            boundary, remaining = b, budget_tokens - cum
+            break
+        cum += masses[b]
+    base = base.withColumn("_b", bucket)
+    if boundary is None:  # whole corpus fits the budget
+        return base.drop("_b")
+    high = base.filter(F.col("_b") > boundary).drop("_b")
+    bw = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep_ids = (
+        proj.withColumn("_b", bucket)
+        .filter(F.col("_b") == boundary)
+        .withColumn("_cum", F.sum("n_tokens").over(bw))
+        .filter(F.col("_cum") <= remaining)
+        .select(id_col)
+    )
+    border = (
+        base.filter(F.col("_b") == boundary)
+        .drop("_b")
+        .join(F.broadcast(keep_ids), id_col, "left_semi")
+    )
+    return high.unionByName(border)

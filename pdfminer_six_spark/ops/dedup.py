@@ -19,7 +19,7 @@ from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
 
 __all__ = [
     "normalized_text",  # re-export: historical home of the normalizer
-    "exact_duplicates", "shingles", "jaccard_pairs",
+    "exact_duplicates", "incremental_exact", "shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_candidates",
     "minhash_near_duplicates", "simhash_signatures", "simhash_verify",
     "simhash_near_duplicates", "duplicate_clusters", "duplicate_spans",
@@ -41,6 +41,61 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def incremental_exact(
+    batch: DataFrame,
+    seen_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    broadcast_drop_ids: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup: dedup a NEW batch against a historical
+    fingerprint index — the shape a continuously-crawled corpus actually
+    runs at 100 TB (you never re-dedup the full corpus; you dedup the
+    delta).  ``seen_fps`` is a relation with an ``fp`` column of md5
+    normalized-text fingerprints, exactly the ``fp`` that
+    ``exact_duplicates`` and this function emit, so the surviving rows'
+    ``fp`` column appends straight back onto the index for the next
+    batch.
+
+    Returns the batch rows that survive: fp not present in ``seen_fps``
+    AND minimal ``id_col`` within their in-batch fp group (new
+    duplicates dedup among themselves), with ``fp`` attached.
+
+    Scale shape: every shuffle in phase 1 carries (id, fp) pairs only —
+    never text.  drop_ids = (batch ids hitting the index) union (in-batch
+    non-canonical ids); for a sane crawl the duplicate rate is a few
+    percent, so drop_ids is small relative to the batch and the final
+    anti-join broadcasts it — the batch text is NEVER shuffled (the
+    decontaminate design).  Pass ``broadcast_drop_ids=False`` for
+    pathological inputs (duplicate-majority batches), which reinstates a
+    sort-merge anti-join on id.  NULL text is hashed as the empty string
+    (NULL fps would silently skip both the anti-join equality and the
+    join-back, exempting every NULL-text row from dedup), so NULL and
+    ``''`` documents are one duplicate group here — a deliberate,
+    documented divergence from ``exact_duplicates``'s NULL fp group."""
+    fp = F.md5(
+        normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    ).alias(fp_col)
+    ids = batch.select(F.col(id_col), fp)
+    seen = seen_fps.select(fp_col).distinct()
+    # phase 1 — (id, fp) only
+    hit_seen = ids.join(seen, fp_col, "left_semi").select(id_col)
+    fresh = ids.join(seen, fp_col, "left_anti")
+    keep_min = fresh.groupBy(fp_col).agg(F.min(id_col).alias("_keep_id"))
+    non_canonical = (
+        fresh.join(keep_min, fp_col)
+        .filter(F.col(id_col) != F.col("_keep_id"))
+        .select(id_col)
+    )
+    drop_ids = hit_seen.unionByName(non_canonical)
+    if broadcast_drop_ids:
+        drop_ids = F.broadcast(drop_ids)
+    # phase 2 — the only touch of the wide batch rows; fp is a pure
+    # projection, cheaper to recompute than to join back
+    return batch.join(drop_ids, id_col, "left_anti").withColumn(fp_col, fp)
 
 
 def shingles(

@@ -3,7 +3,9 @@ token counting, quality scoring, language ID, fingerprinting.
 
 All hot-path logic uses JVM-side built-ins (``pyspark.sql.functions``) —
 no Python UDFs — so Catalyst keeps whole-stage codegen and the plans scale
-linearly with input splits.
+linearly with input splits.  One documented exception: subword_tokenize
+runs an Arrow-batched encoder over the DISTINCT-word relation only (the
+Zipf cache), never over corpus rows.
 """
 
 from __future__ import annotations
@@ -964,4 +966,94 @@ def ngram_novelty(
         F.col("n_novel").cast("long").alias("n_novel"),
         (F.col("n_novel").cast("double") / F.col("n_grams").cast("double"))
         .alias("novelty"),
+    )
+
+
+def subword_tokenize(
+    df: DataFrame,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Apply a subword vocabulary (BPE/WordPiece-style greedy
+    longest-match encode, Sennrich et al. 2016 / Wu et al. 2016): each
+    whitespace word of the normalized text is segmented left-to-right,
+    always taking the LONGEST vocab piece that prefixes the remainder;
+    a position no piece matches emits ``unk`` and advances one
+    character.  Deterministic pure function of (word, vocab).
+
+    Emits one row per non-empty document: ``(id, n_words, n_pieces,
+    n_unk, pieces)`` where ``pieces`` is the space-joined encoded
+    stream in document order.  Token-less documents drop out (inner
+    explode — the vocab_oov contract).
+
+    Scale shape (the Zipf trick): the corpus is NEVER tokenized row by
+    row.  Words explode to (id, pos, word) — the only corpus shuffle is
+    the final groupBy(id) reassembly — and the Python encoder runs ONLY
+    over the DISTINCT-word relation, which Zipf makes orders of
+    magnitude smaller than the corpus (a hot word is encoded once, not
+    once per occurrence).  The vocab itself is model-sized and ships in
+    the UDF closure; the encoded distinct-word table joins back on
+    ``word`` (AQE's skew-join case for hot words — at web scale the
+    distinct-word side is too large to broadcast wholesale).  This is
+    the ONE sanctioned Python hot path in this module, and it is
+    Arrow-batched over distinct words, never per corpus row.
+    """
+    from pyspark.sql.types import StringType
+
+    vset = frozenset(vocab)
+    if not vset or any(not p for p in vset):
+        raise ValueError("vocab must be non-empty pieces")
+    maxlen = max(len(p) for p in vset)
+
+    @F.pandas_udf(StringType())
+    def encode(words):
+        def enc(w):
+            out, i, n = [], 0, len(w)
+            while i < n:
+                for L in range(min(maxlen, n - i), 0, -1):
+                    if w[i : i + L] in vset:
+                        out.append(w[i : i + L])
+                        i += L
+                        break
+                else:
+                    out.append(unk)
+                    i += 1
+            return " ".join(out)
+
+        return words.map(enc)
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_col(normalized_text(F.col(text_col)))).alias(
+            "pos", "word"
+        ),
+    )
+    encoded = words.select("word").distinct().withColumn(
+        "pieces", encode(F.col("word"))
+    )
+    per = (
+        words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                ),
+            ).alias("pieces"),
+        )
+    )
+    ptoks = F.split(F.col("pieces"), " ")
+    return per.select(
+        id_col,
+        "n_words",
+        F.size(ptoks).cast("long").alias("n_pieces"),
+        F.size(F.filter(ptoks, lambda x: x == unk)).cast("long").alias(
+            "n_unk"
+        ),
+        "pieces",
     )

@@ -3534,6 +3534,256 @@ FROM per_source s JOIN top_lang t USING (source)
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (ops.dedup.incremental_exact): dedup a
+    new batch against the fingerprint index of a historical snapshot
+    (doc_id % 3 = 0) — the continuous-crawl shape where only the delta
+    is ever re-deduped.  The batch is the non-historical docs PLUS a
+    simulated re-crawl (every doc_id % 5 = 0 document re-fetched under a
+    new id), so both drop paths do real work: re-crawled historical
+    pages hit the index, re-crawled batch pages dedup in-batch against
+    their original (min-id wins).  Every phase-1 shuffle carries
+    (id, fp) pairs only; the final anti-join broadcasts the small
+    drop-id set so batch text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    seen = hist.select(
+        F.md5(
+            dedup.normalized_text(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("fp")
+    )
+    recrawl = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0).unionByName(recrawl)
+    return dedup.incremental_exact(batch, seen).select("doc_id", "fp")
+
+
+_SQL_DEDUP_INCREMENTAL = """
+WITH fps AS (
+  SELECT doc_id,
+         MD5(LOWER(REGEXP_REPLACE(TRIM(COALESCE(text, '')), '\\s+', ' ',
+                                  'g'))) AS fp
+  FROM documents),
+seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0),
+batch AS (
+  SELECT doc_id, fp FROM fps WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, fp FROM fps WHERE doc_id % 5 = 0),
+fresh AS (SELECT b.doc_id, b.fp FROM batch b
+          ANTI JOIN seen s ON b.fp = s.fp)
+SELECT MIN(doc_id) AS doc_id, fp FROM fresh GROUP BY fp
+"""
+
+
+def q_clean_funnel(spark, sf_dir):
+    """Filter-funnel report (ops.clean.funnel_report): per-stage
+    doc/token survival for Gopher -> blocklist -> C4 line cleaning,
+    computed as flag conjunctions in ONE corpus scan + one map-side
+    aggregate (vs the naive k-scan sequential recount)."""
+    from pdfminer_six_spark.ops.clean import funnel_report
+
+    return funnel_report(_t(spark, sf_dir, "documents"))
+
+
+_SQL_CLEAN_FUNNEL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+feats AS (
+  SELECT len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2 THEN
+           1.0 - len(list_distinct([array_to_string(t[i+1:i+2], ' ')
+                                    FOR i IN RANGE(0, len(t) - 1)]))
+                 * 1.0 / (len(t) - 1)
+         ELSE 0.0 END AS dup_2gram_ratio,
+         CASE WHEN len(t) > 0 THEN
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+             * 1.0 / len(t)
+         ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0 THEN
+           length(REGEXP_REPLACE(text, '[A-Za-z0-9\\s]', '', 'g'))
+             * 1.0 / length(text)
+         ELSE 0.0 END AS symbol_ratio,
+         len(list_filter(t, x -> list_contains(['slow', 'dup'], x))) > 0
+           AS blocked,
+         len(list_filter(string_split(COALESCE(text, ''), chr(10)), x ->
+           len(list_filter(regexp_split_to_array(TRIM(x), '\\s+'),
+                           w -> w <> '')) >= 3
+           AND regexp_matches(rtrim(x), '[.!?]["'']?$')))
+           AS n_lines_kept
+  FROM toks),
+fl AS (
+  SELECT CAST(n_tokens AS BIGINT) AS nt,
+         (n_tokens >= 5 AND n_tokens <= 1000 AND dup_2gram_ratio < 0.4
+          AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+          AND symbol_ratio < 0.1) AS f1,
+         blocked, n_lines_kept
+  FROM feats),
+fl2 AS (
+  SELECT nt, f1,
+         (f1 AND NOT blocked) AS f2,
+         (f1 AND NOT blocked AND n_lines_kept >= 1) AS f3
+  FROM fl),
+tot AS (
+  SELECT COUNT(*) AS n0,
+         CAST(SUM(nt) AS BIGINT) AS t0,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN f1 THEN nt ELSE 0 END) AS BIGINT) AS t1,
+         CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f2 THEN nt ELSE 0 END) AS BIGINT) AS t2,
+         CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN f3 THEN nt ELSE 0 END) AS BIGINT) AS t3
+  FROM fl2)
+SELECT 1 AS stage_idx, 'gopher_keep' AS stage, n0 AS docs_in,
+       t0 AS tokens_in, n1 AS docs_kept, t1 AS tokens_kept FROM tot
+UNION ALL
+SELECT 2, 'blocklist', n1, t1, n2, t2 FROM tot
+UNION ALL
+SELECT 3, 'c4_line', n2, t2, n3, t3 FROM tot
+"""
+
+
+def q_subword_encode(spark, sf_dir):
+    """Greedy longest-match subword encode (ops.textstats.
+    subword_tokenize) under a corpus-derived vocab: the top-8 corpus
+    words (count desc, token asc — deterministic boundary) plus the 36
+    single characters a-z 0-9, with '<unk>' character fallback.  The
+    vocab is model-sized (driver-collected, the LM-artifact pattern);
+    the Python encoder runs only over DISTINCT words (the Zipf cache),
+    and the oracle replays the exact greedy automaton as a DuckDB
+    recursive CTE."""
+    from pdfminer_six_spark.ops.textstats import (
+        normalized_text,
+        subword_tokenize,
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = docs.select(
+        F.explode(
+            tokens_col(normalized_text(F.col("text")))
+        ).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = [
+        r["token"]
+        for r in tf.orderBy(F.col("c").desc(), "token").limit(8).collect()
+    ]
+    vocab = top + [chr(c) for c in range(97, 123)] + [str(d) for d in range(10)]
+    return subword_tokenize(docs, vocab)
+
+
+_SQL_SUBWORD_ENCODE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, UNNEST(t) AS word,
+         generate_subscripts(t, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(
+                 LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')),
+                 '\\s+'), x -> x <> '') AS t
+        FROM documents)),
+vocab AS (
+  SELECT word AS piece FROM (
+    SELECT word, COUNT(*) AS c FROM toks GROUP BY word
+    ORDER BY c DESC, word LIMIT 8)
+  UNION
+  SELECT chr(CAST(97 + i AS INTEGER)) FROM range(26) r(i)
+  UNION
+  SELECT CAST(i AS VARCHAR) FROM range(10) r(i)),
+words AS (SELECT DISTINCT word FROM toks),
+steps AS (
+  SELECT word, CAST('' AS VARCHAR) AS pieces, word AS rest FROM words
+  UNION ALL
+  SELECT word,
+         CASE WHEN pieces = '' THEN nxt ELSE pieces || ' ' || nxt END,
+         substr(rest, adv + 1)
+  FROM (
+    SELECT word, pieces, rest,
+           COALESCE((SELECT v.piece FROM vocab v
+                     WHERE starts_with(s.rest, v.piece)
+                     ORDER BY length(v.piece) DESC LIMIT 1),
+                    '<unk>') AS nxt,
+           COALESCE((SELECT length(v.piece) FROM vocab v
+                     WHERE starts_with(s.rest, v.piece)
+                     ORDER BY length(v.piece) DESC LIMIT 1),
+                    1) AS adv
+    FROM steps s WHERE rest <> '')),
+encoded AS (SELECT word, pieces FROM steps WHERE rest = ''),
+per AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_words,
+         string_agg(e.pieces, ' ' ORDER BY t.pos) AS pieces
+  FROM toks t JOIN encoded e USING (word)
+  GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces,
+       CAST(len(list_filter(string_split(pieces, ' '),
+                            x -> x = '<unk>')) AS BIGINT) AS n_unk,
+       pieces
+FROM per
+"""
+
+
+_TOKEN_BUDGET = 2000
+
+
+def _q_token_budget(spark, sf_dir, mode):
+    """Token-budget curation (ops.clean.token_budget_select): keep the
+    best documents by a lexical-diversity score (distinct whitespace
+    tokens — a deliberately integer-valued signal, so ordering is
+    bit-identical across engines) until the cumulative token count
+    reaches the budget.  ``mode='exact'`` is the single global
+    running-sum window (oracle path); ``mode='bucketed'`` is the 100x
+    plan — monotone score buckets + driver-walked bucket masses + an
+    in-bucket window over the boundary bucket only — and returns
+    IDENTICAL rows, so BOTH registry entries share one oracle SQL."""
+    from pdfminer_six_spark.ops.clean import token_budget_select
+    from pdfminer_six_spark.ops.textstats import tokens_col
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "score",
+        F.size(
+            F.array_distinct(
+                tokens_col(F.coalesce(F.col("text"), F.lit("")))
+            )
+        ).cast("long"),
+    )
+    out = token_budget_select(scored, _TOKEN_BUDGET, mode=mode)
+    return out.select("doc_id", "score", "n_tokens")
+
+
+def q_token_budget(spark, sf_dir):
+    return _q_token_budget(spark, sf_dir, "exact")
+
+
+def q_token_budget_bucketed(spark, sf_dir):
+    return _q_token_budget(spark, sf_dir, "bucketed")
+
+
+_SQL_TOKEN_BUDGET = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(COALESCE(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS score,
+         CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t),
+w AS (
+  SELECT doc_id, score, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM s)
+SELECT doc_id, score, n_tokens FROM w WHERE cum <= {_TOKEN_BUDGET}
+"""
+
+
 # Ordering contract: the round driver evaluates only the FIRST 50 registry
 # entries, in dict order (observed in CORRECTNESS_r02).  The flagship
 # extraction queries and every LLM-data-pipeline operator occupy the first
@@ -3623,9 +3873,10 @@ QUERIES: Dict[str, QuerySpec] = {
     # oracle-sharing/weaker-signal variants, categories driver-green via
     # the in-window representative or a recent round.  r06 ROTATION
     # PRIORITY (stalest-first, all fully oracled and 3-SF-gated):
-    #   1. the six NEW r05 first-class corpus ops with no driver row yet:
-    #      text_repetition, dsir_importance, dsir_select, bpe_pair_stats,
-    #      source_kl, ngram_novelty
+    #   1. the ten NEW r05 first-class corpus ops with no driver row
+    #      yet: text_repetition, dsir_importance, dsir_select,
+    #      bpe_pair_stats, source_kl, ngram_novelty, dedup_incremental,
+    #      clean_funnel, token_budget, token_budget_bucketed
     #   2. deterministic_split, group_sample, text_length_quantiles,
     #      salted_agg, text_rollfp_candidates — r04-green, rotated out r05
     #   3. string_agg_nations, recursive_date_spine, stats_agg,
@@ -3643,6 +3894,11 @@ QUERIES: Dict[str, QuerySpec] = {
     "bpe_pair_stats": (q_bpe_pair_stats, _SQL_BPE_PAIRS),
     "source_kl": (q_source_kl, _SQL_SOURCE_KL),
     "ngram_novelty": (q_ngram_novelty, _SQL_NGRAM_NOVELTY),
+    "dedup_incremental": (q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
+    "clean_funnel": (q_clean_funnel, _SQL_CLEAN_FUNNEL),
+    "token_budget": (q_token_budget, _SQL_TOKEN_BUDGET),
+    "token_budget_bucketed": (q_token_budget_bucketed, _SQL_TOKEN_BUDGET),
+    "subword_encode": (q_subword_encode, _SQL_SUBWORD_ENCODE),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

@@ -2391,3 +2391,193 @@ def test_ngram_novelty_hand_computed(spark):
     # <8-token docs fall back to the single whole-text gram
     assert rows[4]["n_grams"] == 1 and rows[4]["novelty"] == 0.0
     assert rows[5]["novelty"] == 0.0
+
+
+def test_incremental_exact_drop_paths_and_null(spark):
+    """Both drop paths: fps hitting the historical index are dropped; new
+    in-batch duplicates keep only the min id; NULL text hashes as ''
+    (one group with the empty doc).  Broadcast and sort-merge variants
+    must return identical rows."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.dedup import incremental_exact
+
+    seen_src = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["known page"]})
+    )
+    from pdfminer_six_spark.ops.dedup import normalized_text
+    from pyspark.sql import functions as F
+
+    seen = seen_src.select(
+        F.md5(normalized_text(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "fp"
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13, 14, 15],
+                "text": [
+                    "Known  Page ",   # hits the index (normalized)
+                    "fresh one",
+                    "fresh one",      # in-batch dup of 11
+                    "fresh two",
+                    None,             # NULL == '' group
+                    "",               # loses to 14 (min id)
+                ],
+            }
+        )
+    )
+    out = incremental_exact(batch, seen)
+    rows = {r["doc_id"]: r["fp"] for r in out.collect()}
+    assert set(rows) == {11, 13, 14}
+    assert len(set(rows.values())) == 3
+    alt = incremental_exact(batch, seen, broadcast_drop_ids=False)
+    assert sorted(out.collect()) == sorted(alt.collect())
+    # surviving fp column appends straight back onto the index: a second
+    # identical batch dedups to nothing against seen + out.fp
+    seen2 = seen.unionByName(out.select("fp"))
+    again = incremental_exact(batch, seen2)
+    assert again.count() == 0
+
+
+def test_funnel_report_arithmetic(spark):
+    """Stage chaining: docs_in/tokens_in of stage k+1 equal
+    docs_kept/tokens_kept of stage k; flags verified against a
+    hand-computed corpus."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import funnel_report
+
+    good = "alpha beta gamma delta epsilon zeta."   # passes everything
+    blocked = "alpha beta gamma slow delta epsilon."  # gopher ok, blocklisted
+    no_line = "alpha beta gamma delta epsilon zeta"   # no terminal punct
+    short = "tiny"                                    # fails gopher (<5 toks)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [good, blocked, no_line, short],
+            }
+        )
+    )
+    rows = {r["stage"]: r for r in funnel_report(df).collect()}
+    assert [rows[s]["stage_idx"] for s in ("gopher_keep", "blocklist", "c4_line")] == [1, 2, 3]
+    g, b, c = rows["gopher_keep"], rows["blocklist"], rows["c4_line"]
+    assert (g["docs_in"], g["docs_kept"]) == (4, 3)
+    assert (b["docs_in"], b["docs_kept"]) == (3, 2)
+    assert (c["docs_in"], c["docs_kept"]) == (2, 1)
+    assert b["docs_in"] == g["docs_kept"] and b["tokens_in"] == g["tokens_kept"]
+    assert c["docs_in"] == b["docs_kept"] and c["tokens_in"] == b["tokens_kept"]
+    assert g["tokens_in"] == 6 + 6 + 6 + 1
+    assert c["tokens_kept"] == 6  # only `good` survives all three
+
+
+def test_token_budget_select_exact_semantics(spark):
+    """Budget prefix semantics: docs ordered by (score desc, id), kept
+    while cumulative tokens <= budget; the overflowing doc and everything
+    after it are dropped."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import token_budget_select
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "a b c",        # 3 toks
+                    "d e",          # 2 toks
+                    "f g h i",      # 4 toks
+                    "j",            # 1 tok
+                    None,           # 0 toks
+                ],
+                "score": [10, 30, 20, 30, 5],
+            }
+        )
+    )
+    # order: id2(s30,2), id4(s30,1), id3(s20,4), id1(s10,3), id5(s5,0)
+    # cum:   2, 3, 7, 10, 10 — budget 7 keeps {2,4,3}; budget 6 keeps {2,4}
+    out = token_budget_select(df, 7)
+    assert {r["doc_id"] for r in out.collect()} == {2, 4, 3}
+    out6 = token_budget_select(df, 6)
+    assert {r["doc_id"] for r in out6.collect()} == {2, 4}
+    # n_tokens column attached; original columns preserved
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[3]["n_tokens"] == 4 and rows[3]["text"] == "f g h i"
+
+
+def test_token_budget_select_bucketed_equals_exact(spark):
+    """The bucketed scale path returns IDENTICAL rows to the exact global
+    window — including with a tiny bucket count that forces a boundary
+    bucket holding score ties, and in the degenerate all-equal-scores
+    case."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import token_budget_select
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "text": [("tok " * ((i % 7) + 1)).strip() for i in range(40)],
+            "score": [(i * 13) % 11 for i in range(40)],  # many ties
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    for budget in (0, 17, 40, 10_000):
+        ex = sorted(
+            map(tuple, token_budget_select(df, budget).collect())
+        )
+        for nb in (4, 1024):
+            bu = sorted(
+                map(
+                    tuple,
+                    token_budget_select(
+                        df, budget, mode="bucketed", n_buckets=nb
+                    ).collect(),
+                )
+            )
+            assert bu == ex, (budget, nb)
+    # degenerate: every score equal -> one bucket == global window
+    flat = spark.createDataFrame(pdf.assign(score=7))
+    ex = sorted(map(tuple, token_budget_select(flat, 23).collect()))
+    bu = sorted(
+        map(tuple, token_budget_select(flat, 23, mode="bucketed").collect())
+    )
+    assert bu == ex and len(ex) > 0
+
+
+def test_subword_tokenize_greedy_longest_match(spark):
+    """Hand-computed greedy segmentation: longest piece wins at every
+    position, unmatched characters emit <unk> and advance one char;
+    ordering across words is document order."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import subword_tokenize
+
+    vocab = ["low", "lower", "er", "l", "o", "w", "e", "r", "n"]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "Lower  low",   # normalize -> "lower low"
+                    "newer",
+                    "   ",          # token-less: drops out
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in subword_tokenize(df, vocab).collect()}
+    assert set(rows) == {1, 2}
+    # "lower" -> greedy takes the 5-char piece, NOT low+er
+    assert rows[1]["pieces"] == "lower low"
+    assert (rows[1]["n_words"], rows[1]["n_pieces"], rows[1]["n_unk"]) == (2, 2, 0)
+    # "newer": n,e,w,er (no 'ne'/'new' pieces); '<unk>' never triggered
+    assert rows[2]["pieces"] == "n e w er"
+    # unk fallback: '!' not in vocab
+    df2 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["low!er"]})
+    )
+    r9 = subword_tokenize(df2, vocab).collect()[0]
+    assert r9["pieces"] == "low <unk> er" and r9["n_unk"] == 1
