@@ -857,6 +857,106 @@ def bpe_pair_stats(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    min_pair_count: int = 1,
+) -> DataFrame:
+    """Full BPE tokenizer INDUCTION loop (Sennrich et al. 2016 §3.2) —
+    the iterative counterpart of :func:`bpe_pair_stats` (one counting
+    step) and the producer of the vocab :func:`subword_tokenize`
+    applies: repeat ``n_merges`` times { count adjacent piece pairs over
+    the word-frequency table, merge the most frequent pair everywhere }.
+    Emits the learned merge table ``(merge_idx, left, right, merged,
+    pair_count)`` in learned order — the merge list IS the tokenizer.
+
+    Greedy within-word application uses a left-fold that replaces the
+    accumulator's tail when it equals ``left`` and the next piece equals
+    ``right``.  For a single merge rule this is exactly the scan-and-skip
+    semantics of the reference implementation: a just-merged element is
+    ``left||right`` and can never equal ``left`` again (``right`` is
+    non-empty), so the fold never re-consumes its own output within a
+    pass.
+
+    Scale design (the trick that makes BPE training corpus-size
+    independent): the corpus collapses to its WORD FREQUENCY table in
+    ONE scan + one map-side-combinable shuffle; every one of the
+    ``n_merges`` iterations then touches only that model-sized relation
+    (10^5-10^8 distinct words regardless of corpus TB).  The per-
+    iteration argmax is a 1-row driver collect — the sanctioned
+    convergence pattern (dedup_clusters precedent); each iteration
+    re-persists the k-row-wider pieces table and unpersists its
+    predecessor, so memory stays O(words) and the physical plan stays
+    one InMemoryRelation deep.  At real vocab sizes (30k merges) you
+    would batch merges per round and checkpoint every ~100 iterations;
+    the loop structure is unchanged.
+    """
+    spark = df.sparkSession
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select("wc", F.split("w", "").alias("pieces"))
+        .persist()
+    )
+    words.count()
+    merges = []
+    for i in range(n_merges):
+        p = F.col("pieces")
+        counts = (
+            words.filter(F.size(p) >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(p) - 1),
+                        lambda j: F.struct(
+                            F.element_at(p, j).alias("l"),
+                            F.element_at(p, j + 1).alias("r"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.l", "pr.r")
+            .agg(F.sum("wc").alias("c"))
+        )
+        best = (
+            counts.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        )
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        merged = left + right
+        merges.append((i, left, right, merged, cnt))
+        nxt = words.select(
+            "wc",
+            F.aggregate(
+                p,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("pieces"),
+        ).persist()
+        nxt.count()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_idx INT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT",
+    )
+
+
 def source_kl_divergence(
     df: DataFrame,
     group_col: str = "source",

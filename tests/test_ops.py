@@ -2581,3 +2581,93 @@ def test_subword_tokenize_greedy_longest_match(spark):
     )
     r9 = subword_tokenize(df2, vocab).collect()[0]
     assert r9["pieces"] == "low <unk> er" and r9["n_unk"] == 1
+
+
+def test_bpe_train_hand_computed_merge_sequence(spark):
+    """Full BPE induction on the classic Sennrich-style corpus checked
+    two ways: the FIRST merge hand-derived (five pairs tie at count 5 —
+    (e,s),(l,o),(o,w),(s,t),(w,e) — and the (count desc, left, right)
+    total order picks (e,s)), and the whole 6-merge sequence against an
+    independent pure-Python reference BPE trainer written here."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import bpe_train
+
+    freqs = {"low": 3, "lower": 2, "newest": 3, "widest": 2}
+
+    def reference_bpe(freqs, n):
+        words = {tuple(w): c for w, c in freqs.items()}
+        merges = []
+        for i in range(n):
+            counts = {}
+            for w, c in words.items():
+                for a, b in zip(w, w[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + c
+            if not counts:
+                break
+            (l, r), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((i, l, r, l + r, c))
+            nxt = {}
+            for w, cnt in words.items():
+                out, j = [], 0
+                while j < len(w):
+                    if j + 1 < len(w) and w[j] == l and w[j + 1] == r:
+                        out.append(l + r)
+                        j += 2
+                    else:
+                        out.append(w[j])
+                        j += 1
+                nxt[tuple(out)] = nxt.get(tuple(out), 0) + cnt
+            words = nxt
+        return merges
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        # word freqs: low x3, lower x2, newest x3, widest x2
+        "text": ["low low lower newest newest", "low lower newest widest widest"],
+    }))
+    rows = [
+        (r["merge_idx"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_idx").collect()
+    ]
+    assert rows[0] == (0, "e", "s", "es", 5)  # hand-derived tie-break
+    assert rows == reference_bpe(freqs, 6)
+
+
+def test_bpe_train_overlap_fold_is_greedy_scan(spark):
+    """The fold-based within-word merge application must equal greedy
+    left-to-right scan-and-skip on overlapping runs: 'aaa' under merge
+    (a,a) becomes [aa, a] (NOT [a, aa] and NOT [aaa])."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import bpe_train
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["aaa aaa"],  # 'aaa' x2
+    }))
+    rows = [
+        (r["merge_idx"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=2).orderBy("merge_idx").collect()
+    ]
+    # iter 0: (a,a) count = 2 pairs/word * 2 = 4 -> 'aa'; words = [aa,a] x2
+    # iter 1: (aa,a) count = 2 -> 'aaa'
+    assert rows == [(0, "a", "a", "aa", 4), (1, "aa", "a", "aaa", 2)]
+
+
+def test_bpe_train_min_pair_count_stops_early(spark):
+    """min_pair_count terminates induction when the best pair is rarer
+    than the floor; the merge table simply ends (no padding rows)."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.textstats import bpe_train
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1],
+        "text": ["ab ab cd"],
+    }))
+    out = bpe_train(docs, n_merges=5, min_pair_count=2).collect()
+    # (a,b)=2 merges; then best remaining (c,d)=1 < floor -> stop
+    assert [(r["merged"], r["pair_count"]) for r in out] == [("ab", 2)]
