@@ -31,6 +31,7 @@ __all__ = [
     "source_upsample",
     "funnel_report",
     "token_budget_select",
+    "train_order",
 ]
 
 
@@ -570,3 +571,91 @@ def token_budget_select(
         .join(F.broadcast(keep_ids), id_col, "left_semi")
     )
     return high.unionByName(border)
+
+
+def train_order(
+    df: DataFrame,
+    seed: str = "shuf-0",
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    mode: str = "exact",
+) -> DataFrame:
+    """Deterministic training-order shuffle — the final "global shuffle"
+    a training-data pipeline runs before writing shards, made
+    reproducible and retry-safe by deriving the order from a hash
+    instead of an RNG: documents are globally ordered by
+    ``md5(seed || ':' || id)`` (a fixed pseudo-random permutation per
+    seed; changing the seed reshuffles) and assigned ``(pos, shard)``
+    where ``pos`` is the contiguous global position and
+    ``shard = pos % n_shards`` round-robin-interleaves the stream
+    across data-parallel readers so every shard sees the same
+    pseudo-random mix.
+
+    Two physical paths returning IDENTICAL rows:
+
+    * ``mode='exact'`` — ``row_number`` over one global window: the
+      single-task-sort oracle/audit path.
+
+    * ``mode='sharded'`` — the 100x plan: ``repartitionByRange`` on the
+      shuffle key (a distributed range sort — Spark samples boundaries,
+      every partition sorts locally), then the classic two-phase global
+      index: per-partition row counts collect to the driver
+      (O(partitions) rows — sanctioned summary collect), cumulative
+      offsets broadcast back joined on partition id, and
+      ``pos = offset[pid] + local_rank - 1`` where ``local_rank`` is a
+      per-partition window (no global sort cliff).  Range partitions
+      are ordered by key, so cumulative offsets in pid order equal the
+      global rank even though sampled boundaries vary run to run — the
+      OUTPUT is deterministic, only the internal split points float.
+
+    md5 keeps both engines' orders identical (DuckDB computes the same
+    digest; xxhash64 would be Spark-only).  Ties are impossible for
+    distinct ids, but ``id_col`` is appended to the sort for absolute
+    total order anyway.
+    """
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    ).alias("_k")
+    keyed = df.select(F.col(id_col), key)
+    if mode == "exact":
+        w = Window.orderBy("_k", id_col)
+        pos = (F.row_number().over(w) - 1).alias("pos")
+        ordered = keyed.select(id_col, pos)
+    elif mode == "sharded":
+        n_parts = max(keyed.sparkSession.sparkContext.defaultParallelism, 2)
+        parts = (
+            keyed.repartitionByRange(n_parts, "_k", id_col)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        counts = {
+            r["_pid"]: r["c"]
+            for r in parts.groupBy("_pid").agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        spark = keyed.sparkSession
+        off = F.broadcast(
+            spark.createDataFrame(
+                list(offsets.items()), "_pid INT, _off BIGINT"
+            )
+        )
+        lw = Window.partitionBy("_pid").orderBy("_k", id_col)
+        ordered = (
+            parts.join(off, "_pid")
+            .select(
+                id_col,
+                (F.col("_off") + F.row_number().over(lw) - 1).alias("pos"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    return ordered.select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.pmod(F.col("pos"), F.lit(n_shards)).cast("int").alias("shard"),
+    )

@@ -3341,6 +3341,43 @@ LIMIT 20
 """
 
 
+def _q_train_order(spark, sf_dir, mode):
+    """Deterministic training-order shuffle (ops.clean.train_order):
+    the hash-derived global pseudo-random permutation + round-robin
+    shard assignment a pipeline runs before writing training shards.
+    ``exact`` is the global-window oracle path; ``sharded`` is the 100x
+    plan (range repartition + two-phase offset assignment) and must
+    return IDENTICAL rows — both run against the same DuckDB
+    ROW_NUMBER oracle."""
+    from pdfminer_six_spark.ops.clean import train_order
+
+    return train_order(
+        _t(spark, sf_dir, "documents"), seed="shuf-0", n_shards=8,
+        mode=mode,
+    )
+
+
+def q_train_order(spark, sf_dir):
+    return _q_train_order(spark, sf_dir, "exact")
+
+
+def q_train_order_sharded(spark, sf_dir):
+    return _q_train_order(spark, sf_dir, "sharded")
+
+
+_SQL_TRAIN_ORDER = """
+WITH k AS (
+  SELECT doc_id,
+         md5('shuf-0:' || CAST(doc_id AS VARCHAR)) AS _k
+  FROM documents)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY _k, doc_id) - 1 AS BIGINT) AS pos,
+       CAST((ROW_NUMBER() OVER (ORDER BY _k, doc_id) - 1) % 8 AS INT)
+         AS shard
+FROM k
+"""
+
+
 def q_bpe_train(spark, sf_dir):
     """Full BPE induction loop (ops.textstats.bpe_train): learn the
     first 10 merges over the documents word-frequency table.  The merge
@@ -3968,6 +4005,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "token_budget_bucketed": (q_token_budget_bucketed, _SQL_TOKEN_BUDGET),
     "subword_encode": (q_subword_encode, _SQL_SUBWORD_ENCODE),
     "bpe_train": (q_bpe_train, _bpe_train_sql(10)),
+    "train_order": (q_train_order, _SQL_TRAIN_ORDER),
+    "train_order_sharded": (q_train_order_sharded, _SQL_TRAIN_ORDER),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

@@ -2671,3 +2671,47 @@ def test_bpe_train_min_pair_count_stops_early(spark):
     out = bpe_train(docs, n_merges=5, min_pair_count=2).collect()
     # (a,b)=2 merges; then best remaining (c,d)=1 < floor -> stop
     assert [(r["merged"], r["pair_count"]) for r in out] == [("ab", 2)]
+
+
+def test_train_order_sharded_equals_exact_and_is_permutation(spark):
+    """The two-phase sharded global-index path must return IDENTICAL
+    (id, pos, shard) rows to the exact global-window path, regardless of
+    input partitioning; pos must be a contiguous 0..n-1 permutation and
+    shard the round-robin of pos."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import train_order
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(101)),
+        "text": ["t"] * 101,
+    })).repartition(13)  # deliberately odd partitioning
+    exact = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in train_order(docs, seed="s1", n_shards=5, mode="exact").collect()
+    }
+    sharded = {
+        r["doc_id"]: (r["pos"], r["shard"])
+        for r in train_order(docs, seed="s1", n_shards=5, mode="sharded").collect()
+    }
+    assert exact == sharded
+    poss = sorted(p for p, _ in exact.values())
+    assert poss == list(range(101))
+    assert all(s == p % 5 for p, s in exact.values())
+    # a different seed produces a different permutation
+    other = {
+        r["doc_id"]: r["pos"]
+        for r in train_order(docs, seed="s2", n_shards=5, mode="exact").collect()
+    }
+    assert other != {k: p for k, (p, _) in exact.items()}
+
+
+def test_train_order_rejects_unknown_mode(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from pdfminer_six_spark.ops.clean import train_order
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
+    with _pytest.raises(ValueError):
+        train_order(docs, mode="nope")
