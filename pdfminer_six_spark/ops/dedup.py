@@ -19,7 +19,8 @@ from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
 
 __all__ = [
     "normalized_text",  # re-export: historical home of the normalizer
-    "exact_duplicates", "incremental_exact", "shingles", "jaccard_pairs",
+    "exact_duplicates", "incremental_exact", "incremental_minhash",
+    "shingles", "jaccard_pairs",
     "minhash_signatures", "minhash_lsh_candidates",
     "minhash_near_duplicates", "simhash_signatures", "simhash_verify",
     "simhash_near_duplicates", "duplicate_clusters", "duplicate_spans",
@@ -261,22 +262,14 @@ def minhash_signatures(
     return _signatures_from_shingles(shingles(df, text_col, n), num_hashes)
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    num_hashes: int = 16,
-    bands: int = 8,
-    text_col: str = "text",
-    n: int = 3,
+def _banded_signatures(
+    sig: DataFrame, num_hashes: int, bands: int
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs.
-    The O(n²) similarity join becomes an equi-join on (band, band_hash).
-    The shingle relation is recomputed per consumer on purpose: sharing a
-    persisted copy was A/B-measured SLOWER (7.5 vs 6.5 s at sf0.1) than
-    letting whole-stage codegen pipeline the recomputation — see the
-    minhash_near_duplicates docstring."""
+    """(doc_id, band, bucket) from a (doc_id, sig array<long>) relation:
+    each band's slice of the signature hashes to one 8-byte bucket key,
+    so the similarity join becomes an equi-join on (band, bucket)."""
     rows_per_band = num_hashes // bands
-    sig = _signatures_from_shingles(shingles(df, text_col, n), num_hashes)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -298,6 +291,23 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+    The O(n²) similarity join becomes an equi-join on (band, band_hash).
+    The shingle relation is recomputed per consumer on purpose: sharing a
+    persisted copy was A/B-measured SLOWER (7.5 vs 6.5 s at sf0.1) than
+    letting whole-stage codegen pipeline the recomputation — see the
+    minhash_near_duplicates docstring."""
+    sig = _signatures_from_shingles(shingles(df, text_col, n), num_hashes)
+    banded = _banded_signatures(sig, num_hashes, bands)
     return (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
@@ -939,4 +949,72 @@ def remove_duplicate_spans(
                 - F.coalesce(F.length("text_clean"), F.lit(0))
             ).alias("n_chars_removed"),
         )
+    )
+
+
+def incremental_minhash(
+    batch: DataFrame,
+    index_sig: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Fuzzy incremental dedup: match a NEW crawl batch against a
+    HISTORICAL minhash-signature index — the near-dup counterpart of
+    :func:`incremental_exact`, and the shape continuous ingestion
+    actually runs (the historical text is gone; only the model-sized
+    ``(doc_id, sig)`` index from :func:`minhash_signatures` persists,
+    appended batch over batch).
+
+    The batch's signatures band exactly like the index's; candidates are
+    the band-bucket equi-join of batch x index, and each candidate is
+    verified by the ESTIMATED Jaccard — the fraction of agreeing
+    signature components (the standard estimator: E[match fraction] =
+    true Jaccard; with the historical shingle sets discarded, exact
+    verification is impossible by design).  Emits ``(doc_id, hist_id,
+    est_jaccard)`` for pairs with ``est_jaccard >= threshold``.
+
+    Scale shape (100 TB): the index never rebuilds — each batch appends
+    its signatures.  Every shuffle carries (id, band, bucket) or
+    (id, sig) rows — 16 longs per doc, never text; the band join is an
+    equi-join (no broadcast of the index needed — it range-partitions by
+    bucket and batches probe it), and verification joins only the
+    candidate pairs' signatures.  Estimator granularity is 1/num_hashes,
+    so thresholds should sit strictly between representable fractions
+    (0.6 with 16 hashes ≡ >= 10/16)."""
+    bsig = minhash_signatures(batch, num_hashes, text_col, n)
+    bb = _banded_signatures(bsig, num_hashes, bands)
+    ib = _banded_signatures(index_sig, num_hashes, bands)
+    cand = (
+        bb.alias("a")
+        .join(ib.alias("b"), on=["band", "bucket"])
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("hist_id"),
+        )
+        .distinct()
+    )
+    agree = F.zip_with(
+        F.col("bs"), F.col("hs"), lambda x, y: (x == y).cast("int")
+    )
+    est = (
+        F.aggregate(agree, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(bsig.withColumnRenamed("sig", "bs"), "doc_id")
+        .join(
+            index_sig.select(
+                F.col("doc_id").alias("hist_id"), F.col("sig").alias("hs")
+            ),
+            "hist_id",
+        )
+        .select(
+            "doc_id",
+            "hist_id",
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )

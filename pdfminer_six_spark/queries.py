@@ -3341,6 +3341,82 @@ LIMIT 20
 """
 
 
+# Fixture for the fuzzy-incremental-dedup oracle: the engine's banded
+# minhash signatures for both sides of the batch-vs-history split, keyed
+# by the same arithmetic corpus fingerprint as the simhash fixture.
+_INCR_MH_FIXTURE = os.path.join(
+    tempfile.gettempdir(), "pdfminer_six_spark_fixtures", "incr_minhash"
+)
+
+
+def q_dedup_incremental_fuzzy(spark, sf_dir):
+    """Fuzzy incremental dedup (ops.dedup.incremental_minhash): odd
+    doc_ids play the HISTORICAL signature index (text discarded — only
+    (doc_id, sig) persists), even doc_ids are the new crawl batch;
+    candidates come from the band-bucket equi-join and are verified by
+    the signature-agreement Jaccard estimator.  DuckDB cannot compute
+    the xxhash64 signatures, so — exactly like ``dedup_simhash`` — the
+    query writes the engine's banded signatures for both sides as a
+    fingerprint-keyed parquet fixture and the oracle replays the
+    band join + agreement fraction over those exact rows (the
+    generation stage is pinned by the minhash-vs-exact-Jaccard
+    equivalence tests)."""
+    from pdfminer_six_spark.ops.dedup import (
+        _banded_signatures,
+        incremental_minhash,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.agg(
+        F.sum((F.col("doc_id") + F.lit(1)) * F.col("n_chars"))
+    ).collect()[0][0]
+    hist = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    isig = minhash_signatures(hist)
+    bsig = minhash_signatures(batch)
+    fixture = (
+        _banded_signatures(bsig, 16, 8)
+        .join(bsig, "doc_id")
+        .withColumn("side", F.lit("batch"))
+        .unionByName(
+            _banded_signatures(isig, 16, 8)
+            .join(isig, "doc_id")
+            .withColumn("side", F.lit("hist"))
+        )
+    )
+    path = os.path.join(_INCR_MH_FIXTURE, f"fp={fp}")
+    fixture.write.mode("overwrite").parquet(path)
+    return incremental_minhash(batch, isig, threshold=0.6)
+
+
+def _incr_minhash_sql() -> str:
+    glob = os.path.join(_INCR_MH_FIXTURE, "fp=*", "*.parquet")
+    return f"""
+WITH fx AS MATERIALIZED (
+  SELECT side, doc_id, band, bucket, sig
+  FROM read_parquet('{glob}', hive_partitioning=1)
+  WHERE CAST(fp AS BIGINT) =
+        (SELECT SUM((doc_id + 1) * n_chars) FROM documents)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS hist_id
+  FROM fx a JOIN fx b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.side = 'batch' AND b.side = 'hist'),
+sigs AS MATERIALIZED (
+  SELECT DISTINCT side, doc_id, sig FROM fx)
+SELECT c.doc_id, c.hist_id,
+       ROUND(len(list_filter(
+           [bs.sig[i] = hs.sig[i] FOR i IN range(1, len(bs.sig) + 1)],
+           x -> x)) / 16.0, 6) AS est_jaccard
+FROM cand c
+JOIN sigs bs ON bs.doc_id = c.doc_id AND bs.side = 'batch'
+JOIN sigs hs ON hs.doc_id = c.hist_id AND hs.side = 'hist'
+WHERE len(list_filter(
+        [bs.sig[i] = hs.sig[i] FOR i IN range(1, len(bs.sig) + 1)],
+        x -> x)) / 16.0 >= 0.6
+"""
+
+
 def _q_train_order(spark, sf_dir, mode):
     """Deterministic training-order shuffle (ops.clean.train_order):
     the hash-derived global pseudo-random permutation + round-robin
@@ -4007,6 +4083,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "bpe_train": (q_bpe_train, _bpe_train_sql(10)),
     "train_order": (q_train_order, _SQL_TRAIN_ORDER),
     "train_order_sharded": (q_train_order_sharded, _SQL_TRAIN_ORDER),
+    "dedup_incremental_fuzzy": (
+        q_dedup_incremental_fuzzy,
+        _incr_minhash_sql(),
+    ),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

@@ -2715,3 +2715,61 @@ def test_train_order_rejects_unknown_mode(spark):
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]}))
     with _pytest.raises(ValueError):
         train_order(docs, mode="nope")
+
+
+def test_incremental_minhash_exact_copy_near_dup_and_disjoint(spark):
+    """Fuzzy incremental dedup against a historical signature index: an
+    exact copy of a historical doc estimates Jaccard 1.0; a disjoint doc
+    matches nothing; the estimator is the agreement fraction in
+    1/16 granularity."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.dedup import (
+        incremental_minhash,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    hist = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 3],
+        "text": [base, "completely different historical content about spark"],
+    }))
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [2, 4, 6],
+        "text": [
+            base,                                   # exact copy of hist 1
+            base + " with a small extra tail here", # near-dup of hist 1
+            "unrelated new crawl text entirely",    # disjoint
+        ],
+    }))
+    isig = minhash_signatures(hist)
+    out = {
+        (r["doc_id"], r["hist_id"]): r["est_jaccard"]
+        for r in incremental_minhash(batch, isig, threshold=0.5).collect()
+    }
+    assert out[(2, 1)] == 1.0
+    assert (4, 1) in out and 0.5 <= out[(4, 1)] < 1.0
+    assert all(d != 6 for d, _ in out)
+    # estimator granularity: multiples of 1/16
+    assert all(abs(v * 16 - round(v * 16)) < 1e-9 for v in out.values())
+
+
+def test_incremental_minhash_band_join_is_equi_join(spark):
+    """The candidate stage must plan as an equi-join on (band, bucket) —
+    never a broadcast nested loop / cartesian."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.dedup import (
+        incremental_minhash,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(20)),
+        "text": [f"some text body number {i} with shared tokens" for i in range(20)],
+    }))
+    isig = minhash_signatures(docs.filter("doc_id % 2 = 1"))
+    out = incremental_minhash(docs.filter("doc_id % 2 = 0"), isig)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
