@@ -3341,6 +3341,53 @@ LIMIT 20
 """
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter incremental dedup (ops.dedup.bloom_build +
+    bloom_filter_batch — the BFF shape): odd doc_ids are history, even
+    doc_ids the new batch; the query builds the 8 KiB filter
+    distributively (per-partition numpy bitsets OR'd), broadcasts it,
+    and probes the batch with the vectorized Arrow UDF.  Every verdict
+    is a deterministic pure function of (text, m, k) — double-hashed
+    bit indices from md5 slices — so DuckDB replays the EXACT Bloom
+    semantics relationally (distinct historical bit set + per-doc
+    BOOL_AND membership), false positives and all: a hard oracle over
+    two genuinely different implementations (numpy bitset vs SQL set
+    membership)."""
+    from pdfminer_six_spark.ops.dedup import bloom_build, bloom_filter_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = docs.filter(F.col("doc_id") % 2 == 0)
+    bloom = bloom_build(hist, m_bits=1 << 16, k=7)
+    return bloom_filter_batch(batch, bloom, m_bits=1 << 16, k=7).select(
+        "doc_id", "maybe_seen"
+    )
+
+
+_SQL_DEDUP_BLOOM = """
+WITH fps AS MATERIALIZED (
+  SELECT doc_id,
+         MD5(LOWER(REGEXP_REPLACE(TRIM(COALESCE(text, '')), '\\s+', ' ',
+                                  'g'))) AS fp
+  FROM documents),
+hb AS MATERIALIZED (
+  SELECT DISTINCT
+         ((('0x' || substr(fp, 1, 15))::BIGINT
+           + i * ('0x' || substr(fp, 17, 15))::BIGINT) % 65536) AS bit
+  FROM fps, (SELECT UNNEST(range(0, 7)) AS i)
+  WHERE doc_id % 2 = 1),
+bb AS MATERIALIZED (
+  SELECT doc_id,
+         ((('0x' || substr(fp, 1, 15))::BIGINT
+           + i * ('0x' || substr(fp, 17, 15))::BIGINT) % 65536) AS bit
+  FROM fps, (SELECT UNNEST(range(0, 7)) AS i)
+  WHERE doc_id % 2 = 0)
+SELECT bb.doc_id, BOOL_AND(hb.bit IS NOT NULL) AS maybe_seen
+FROM bb LEFT JOIN hb ON bb.bit = hb.bit
+GROUP BY bb.doc_id
+"""
+
+
 # Fixture for the fuzzy-incremental-dedup oracle: the engine's banded
 # minhash signatures for both sides of the batch-vs-history split, keyed
 # by the same arithmetic corpus fingerprint as the simhash fixture.
@@ -4087,6 +4134,7 @@ QUERIES: Dict[str, QuerySpec] = {
         q_dedup_incremental_fuzzy,
         _incr_minhash_sql(),
     ),
+    "dedup_bloom": (q_dedup_bloom, _SQL_DEDUP_BLOOM),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

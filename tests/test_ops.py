@@ -2773,3 +2773,50 @@ def test_incremental_minhash_band_join_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_filter_no_false_negatives_and_reference_equal(spark):
+    """Bloom incremental dedup: (1) one-sided error — every batch doc
+    whose normalized text appeared in history MUST be maybe_seen (false
+    negatives are impossible by construction); (2) the engine's verdicts
+    equal an independent pure-Python Bloom built here from scratch."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.dedup import bloom_build, bloom_filter_batch
+
+    M, K = 1 << 12, 5
+    hist_texts = [f"historical document number {i} body" for i in range(40)]
+    batch_texts = (
+        hist_texts[:10]                       # exact repeats -> must hit
+        + [f"Fresh  Crawl   {i} text" for i in range(30)]  # new
+    )
+    hist = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40), "text": hist_texts,
+    }))
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(100, 140), "text": batch_texts,
+    }))
+    bloom = bloom_build(hist, m_bits=M, k=K)
+    got = {
+        r["doc_id"]: r["maybe_seen"]
+        for r in bloom_filter_batch(batch, bloom, m_bits=M, k=K).collect()
+    }
+
+    # independent reference bloom (python ints, same md5 double hashing)
+    def bits_of(text):
+        norm = " ".join(text.strip().split()).lower()
+        d = hashlib.md5(norm.encode()).hexdigest()
+        h1, h2 = int(d[0:15], 16), int(d[16:31], 16)
+        return {(h1 + i * h2) % M for i in range(K)}
+
+    ref_bits = set()
+    for t in hist_texts:
+        ref_bits |= bits_of(t)
+    ref = {
+        100 + j: bits_of(t) <= ref_bits for j, t in enumerate(batch_texts)
+    }
+    assert got == ref
+    assert all(got[100 + j] for j in range(10))  # no false negatives
+    assert not all(got.values())  # fresh docs exist that pass through
