@@ -40,7 +40,28 @@ def build_args(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--pairs-output", default=None)
     p.add_argument("--clusters-output", default=None)
-    p.add_argument("--method", choices=["lsh", "exact"], default="lsh")
+    p.add_argument(
+        "--method",
+        choices=["lsh", "exact", "incremental"],
+        default="lsh",
+        help="lsh/exact dedup the whole input against itself; "
+             "incremental dedups the input (a NEW crawl batch) against "
+             "the historical fingerprint index given by --index — the "
+             "continuous-ingestion shape where the full corpus is never "
+             "re-deduped",
+    )
+    p.add_argument(
+        "--index",
+        default=None,
+        help="(incremental) historical fingerprint parquet with an 'fp' "
+             "column; omit for a first batch (empty history)",
+    )
+    p.add_argument(
+        "--index-output",
+        default=None,
+        help="(incremental) where to write the UPDATED index (old fps + "
+             "survivors' fps) for the next batch",
+    )
     p.add_argument("--threshold", type=float, default=0.6)
     p.add_argument(
         "--max-df",
@@ -69,6 +90,27 @@ def run(spark, args) -> dict:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
     docs = spark.read.parquet(args.input)
+    if args.method == "incremental":
+        if getattr(args, "index", None):
+            seen = spark.read.parquet(args.index).select("fp")
+        else:
+            seen = spark.createDataFrame([], "fp string")
+        survivors = dedup.incremental_exact(docs, seen)
+        # fp rides along on the survivors; materialize once, serve both
+        # the survivor sink and the index update
+        survivors.write.mode("overwrite").parquet(args.output)
+        survivors = spark.read.parquet(args.output)
+        if getattr(args, "index_output", None):
+            seen.unionByName(survivors.select("fp")).distinct().write.mode(
+                "overwrite"
+            ).parquet(args.index_output)
+        n_docs = docs.count()
+        n_surv = survivors.count()
+        return {
+            "n_docs": n_docs,
+            "n_dropped": n_docs - n_surv,
+            "n_survivors": n_surv,
+        }
     if args.method == "lsh":
         pairs = dedup.minhash_near_duplicates(docs, threshold=args.threshold)
     else:

@@ -483,3 +483,51 @@ def test_build_job_end_to_end_and_failure_injection_resume(spark, tmp_path):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(a, b)
+
+
+def test_dedup_job_incremental_two_batches(spark, tmp_path):
+    """jobs/dedup.py --method incremental: batch 1 seeds the index from
+    empty history; batch 2 (half repeats of batch 1, half fresh) drops
+    exactly the repeats against the written index; the updated index
+    accumulates across batches."""
+    import importlib.util, os
+
+    import pandas as pd
+
+    spec = importlib.util.spec_from_file_location(
+        "jobs_dedup_incr",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", "dedup.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    b1 = tmp_path / "batch1_in"
+    b2 = tmp_path / "batch2_in"
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha one", "beta two", "alpha  ONE", "gamma three"],
+    })).write.parquet(str(b1))  # 3 = normalized dup of 1 in-batch
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": ["beta two", "delta four", "ALPHA one"],
+    })).write.parquet(str(b2))  # 10, 12 repeat history; 11 fresh
+
+    out1, idx1 = tmp_path / "surv1", tmp_path / "idx1"
+    stats1 = job.run(spark, job.build_args([
+        "--input", str(b1), "--output", str(out1),
+        "--method", "incremental", "--index-output", str(idx1),
+    ]))
+    assert stats1 == {"n_docs": 4, "n_dropped": 1, "n_survivors": 3}
+
+    out2, idx2 = tmp_path / "surv2", tmp_path / "idx2"
+    stats2 = job.run(spark, job.build_args([
+        "--input", str(b2), "--output", str(out2),
+        "--method", "incremental",
+        "--index", str(idx1), "--index-output", str(idx2),
+    ]))
+    assert stats2 == {"n_docs": 3, "n_dropped": 2, "n_survivors": 1}
+    surv2 = {r["doc_id"] for r in spark.read.parquet(str(out2)).collect()}
+    assert surv2 == {11}
+    # index accumulates: 3 batch-1 fps + delta's fp
+    assert spark.read.parquet(str(idx2)).count() == 4
