@@ -107,6 +107,9 @@ def main() -> None:
         "dsir_importance",
         "dedup_incremental",
         "clean_funnel",
+        "dedup_incremental_fuzzy",
+        "dedup_bloom",
+        "train_order_sharded",
     ]
     for _ in range(repeats):
         for name in suite:

@@ -32,6 +32,7 @@ __all__ = [
     "funnel_report",
     "token_budget_select",
     "train_order",
+    "temperature_mix",
 ]
 
 
@@ -659,3 +660,124 @@ def train_order(
         F.col("pos").cast("long").alias("pos"),
         F.pmod(F.col("pos"), F.lit(n_shards)).cast("int").alias("shard"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_docs: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "tmix-0",
+    mode: str = "exact",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    rebalancing of XLM-R / mT5, temperature alpha = 0.5): a corpus whose
+    sources have sizes ``n_i`` is downsampled to ``budget_docs`` total
+    with per-source targets proportional to ``n_i^0.5`` — big sources
+    are flattened, small sources keep proportionally more.  Returns the
+    selected ``(id, source)`` rows.
+
+    Everything that decides WHICH rows survive is integer arithmetic,
+    deliberately: weights are ``floor(sqrt(n_i))`` (IEEE sqrt is
+    correctly rounded, so the floor is exact for any count < 2^52 in
+    every engine) and targets are ``budget * w_i DIV sum(w)`` capped at
+    ``n_i`` — no float sum whose association order could flip a
+    boundary row between engines.  Within a source, survivors are the
+    first ``target_i`` docs ordered by ``(md5(seed:id), id)`` — the
+    same deterministic permutation as train_order, so re-runs and
+    retries select identical rows.  Per-source counts collect to the
+    driver (O(sources) — sanctioned summary collect).
+
+    Two physical paths returning IDENTICAL rows:
+
+    * ``mode='exact'`` — per-source ``row_number`` window: correct, but
+      a web-scale source funnels through one task's sort (the
+      ccnet_buckets cliff), so this is the oracle/audit path.
+
+    * ``mode='bucketed'`` — the 100x plan: the selection key's first 4
+      hex chars split each source into 65,536 hash buckets; per-
+      (source, bucket) counts aggregate map-side and collect
+      (O(sources x 65536) summary rows — MBs, not data), the driver
+      finds each source's boundary bucket by cumulative count, whole
+      buckets below it survive by comparison (scan-local filter), and
+      only the boundary bucket — ~1/65536 of the source — pays a
+      window sort for its exact intra-bucket ranks.
+    """
+    from math import isqrt
+
+    spark = df.sparkSession
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    if budget_docs is None:
+        budget_docs = total * 3 // 5
+    weights = {s: isqrt(n) for s, n in counts.items()}
+    wsum = sum(weights.values()) or 1
+    targets = {
+        s: min(counts[s], budget_docs * weights[s] // wsum) for s in counts
+    }
+    key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    ).alias("_k")
+    keyed = df.select(F.col(id_col), F.col(source_col), key)
+    tgt = F.create_map(
+        *[x for s, t in sorted(targets.items()) for x in (F.lit(s), F.lit(t))]
+    )
+    if mode == "exact":
+        w = Window.partitionBy(source_col).orderBy("_k", id_col)
+        return (
+            keyed.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= tgt[F.col(source_col)])
+            .select(id_col, source_col)
+        )
+    if mode != "bucketed":
+        raise ValueError(f"unknown mode: {mode!r}")
+    bucketed = keyed.withColumn("_b", F.substring("_k", 1, 4))
+    bcounts = (
+        bucketed.groupBy(source_col, "_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    per_src: dict = {}
+    for r in bcounts:
+        per_src.setdefault(r[source_col], []).append((r["_b"], r["c"]))
+    full_below: dict = {}   # source -> boundary bucket (exclusive)
+    boundary: dict = {}     # source -> (bucket, remaining quota)
+    for s, bl in per_src.items():
+        bl.sort()
+        acc, t = 0, targets[s]
+        full_below[s] = ""
+        boundary[s] = None
+        for b, c in bl:
+            if acc + c <= t:
+                acc += c
+                full_below[s] = b + "￿"  # whole bucket survives
+                if acc == t:
+                    break
+            else:
+                boundary[s] = (b, t - acc)
+                break
+    fb = F.create_map(
+        *[x for s, v in sorted(full_below.items()) for x in (F.lit(s), F.lit(v))]
+    )
+    kept_full = bucketed.filter(
+        F.col("_b") < fb[F.col(source_col)]
+    ).select(id_col, source_col)
+    bnd = [(s, b, q) for s, v in boundary.items() if v for (b, q) in [v]]
+    if not bnd:
+        return kept_full
+    bnd_df = F.broadcast(
+        spark.createDataFrame(bnd, f"{source_col} string, _b string, _q long")
+    )
+    bw = Window.partitionBy(source_col).orderBy("_k", id_col)
+    kept_boundary = (
+        bucketed.join(bnd_df, [source_col, "_b"])
+        .withColumn("_rk", F.row_number().over(bw))
+        .filter(F.col("_rk") <= F.col("_q"))
+        .select(id_col, source_col)
+    )
+    return kept_full.unionByName(kept_boundary)

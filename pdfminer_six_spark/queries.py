@@ -3341,6 +3341,51 @@ LIMIT 20
 """
 
 
+def _q_temperature_mix(spark, sf_dir, mode):
+    """Temperature-scaled source mixing (ops.clean.temperature_mix,
+    alpha=0.5 XLM-R/mT5 rebalancing) at a 60% doc budget.  Survivor
+    choice is integer arithmetic end to end (isqrt weights, integer-
+    division targets, md5-permutation ranks), so exact and bucketed
+    paths — and the DuckDB oracle — agree row-for-row with no float
+    discipline."""
+    from pdfminer_six_spark.ops.clean import temperature_mix
+
+    return temperature_mix(_t(spark, sf_dir, "documents"), mode=mode)
+
+
+def q_temperature_mix(spark, sf_dir):
+    return _q_temperature_mix(spark, sf_dir, "exact")
+
+
+def q_temperature_mix_bucketed(spark, sf_dir):
+    return _q_temperature_mix(spark, sf_dir, "bucketed")
+
+
+_SQL_TEMPERATURE_MIX = """
+WITH counts AS MATERIALIZED (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS MATERIALIZED (
+  SELECT source, n,
+         CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS wgt
+  FROM counts),
+t AS MATERIALIZED (
+  SELECT source,
+         LEAST(n, (((SELECT SUM(n) FROM counts) * 3 // 5) * wgt)
+                    // (SELECT SUM(wgt) FROM w)) AS target
+  FROM w),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('tmix-0:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents)
+SELECT r.doc_id, r.source
+FROM ranked r JOIN t USING (source)
+WHERE r.rk <= t.target
+"""
+
+
 def q_dedup_bloom(spark, sf_dir):
     """Bloom-filter incremental dedup (ops.dedup.bloom_build +
     bloom_filter_batch — the BFF shape): odd doc_ids are history, even
@@ -4101,10 +4146,12 @@ QUERIES: Dict[str, QuerySpec] = {
     # oracle-sharing/weaker-signal variants, categories driver-green via
     # the in-window representative or a recent round.  r06 ROTATION
     # PRIORITY (stalest-first, all fully oracled and 3-SF-gated):
-    #   1. the ten NEW r05 first-class corpus ops with no driver row
+    #   1. the NEW r05 first-class corpus ops with no driver row
     #      yet: text_repetition, dsir_importance, dsir_select,
     #      bpe_pair_stats, source_kl, ngram_novelty, dedup_incremental,
-    #      clean_funnel, token_budget, token_budget_bucketed
+    #      clean_funnel, token_budget, token_budget_bucketed,
+    #      subword_encode, bpe_train, train_order(_sharded),
+    #      dedup_incremental_fuzzy, dedup_bloom
     #   2. deterministic_split, group_sample, text_length_quantiles,
     #      salted_agg, text_rollfp_candidates — r04-green, rotated out r05
     #   3. string_agg_nations, recursive_date_spine, stats_agg,
@@ -4135,6 +4182,11 @@ QUERIES: Dict[str, QuerySpec] = {
         _incr_minhash_sql(),
     ),
     "dedup_bloom": (q_dedup_bloom, _SQL_DEDUP_BLOOM),
+    "temperature_mix": (q_temperature_mix, _SQL_TEMPERATURE_MIX),
+    "temperature_mix_bucketed": (
+        q_temperature_mix_bucketed,
+        _SQL_TEMPERATURE_MIX,
+    ),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),
     "ann_lsh_topk": (q_ann_lsh, None),

@@ -2820,3 +2820,47 @@ def test_bloom_filter_no_false_negatives_and_reference_equal(spark):
     assert got == ref
     assert all(got[100 + j] for j in range(10))  # no false negatives
     assert not all(got.values())  # fresh docs exist that pass through
+
+
+def test_temperature_mix_targets_and_path_equality(spark):
+    """Temperature mixing: sqrt-weighted integer targets flatten the
+    big source (its share of the mix drops below its corpus share, the
+    small source's share rises); bucketed path equals exact path row
+    for row; survivors within a source are the md5-permutation prefix."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import temperature_mix
+
+    rows = (
+        [(i, "web") for i in range(400)]
+        + [(1000 + i, "books") for i in range(25)]
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source"])
+    ).repartition(7)
+    budget = 200
+    exact = {
+        (r["doc_id"], r["source"])
+        for r in temperature_mix(docs, budget_docs=budget, mode="exact").collect()
+    }
+    bucketed = {
+        (r["doc_id"], r["source"])
+        for r in temperature_mix(docs, budget_docs=budget, mode="bucketed").collect()
+    }
+    assert exact == bucketed
+    # integer targets: w = isqrt(400)=20, isqrt(25)=5; wsum=25
+    # web: 200*20//25 = 160, books: 200*5//25 = 40 -> capped at 25
+    n_web = sum(1 for _, s in exact if s == "web")
+    n_books = sum(1 for _, s in exact if s == "books")
+    assert (n_web, n_books) == (160, 25)
+    # flattening: web is 94% of the corpus but only 86.5% of the mix
+    assert n_web / (n_web + n_books) < 400 / 425
+    # survivors are the hash-permutation prefix of each source
+    def keyed(ids):
+        return sorted(
+            ids, key=lambda i: (hashlib.md5(f"tmix-0:{i}".encode()).hexdigest(), i)
+        )
+    web_ids = keyed(range(400))[:160]
+    assert {i for i, s in exact if s == "web"} == set(web_ids)
