@@ -33,6 +33,8 @@ __all__ = [
     "token_budget_select",
     "train_order",
     "temperature_mix",
+    "FORMATTING_RULES",
+    "normalize_formatting",
 ]
 
 
@@ -781,3 +783,73 @@ def temperature_mix(
         .select(id_col, source_col)
     )
     return kept_full.unionByName(kept_boundary)
+
+
+# (name, java/RE2-compatible regex, replacement) applied IN ORDER — each
+# rule's semantics must be identical in Java regex (Spark) and RE2/DuckDB
+# (no lookaround, no backreferences).  Character classes are built from
+# \\u escapes at import time so the source stays printable.
+FORMATTING_RULES: Tuple[Tuple[str, str, str], ...] = (
+    # zero-width chars + BOM + soft hyphen: delete
+    ("zero_width", "[\u200b\u200c\u200d\u2060\ufeff\u00ad]", ""),
+    # unicode double quotes -> ascii
+    ("quotes_double", "[\u201c\u201d\u201e\u00ab\u00bb]", '"'),
+    # unicode single quotes/apostrophes -> ascii
+    ("quotes_single", "[\u2018\u2019\u201a\u2039\u203a]", "'"),
+    # dashes (en/em/horizontal bar/minus sign) -> hyphen
+    ("dashes", "[\u2013\u2014\u2015\u2212]", "-"),
+    # ellipsis char -> three dots
+    ("ellipsis", "\u2026", "..."),
+    # nbsp / figure+punctuation spaces / narrow nbsp / ideographic -> space
+    ("spaces", "[\u00a0\u2000-\u200a\u202f\u205f\u3000]", " "),
+    # C0 controls except \t and \n (and \r handled as a control): delete
+    ("controls", "[\u0000-\u0008\u000b-\u001f\u007f]", ""),
+    # runs of 3+ newlines -> exactly two (one paragraph break)
+    ("newline_runs", "\n{3,}", "\n\n"),
+    # trailing whitespace before a newline
+    ("trailing_ws", "[ \t]+\n", "\n"),
+)
+
+
+def normalize_formatting(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: Tuple[Tuple[str, str, str], ...] = FORMATTING_RULES,
+) -> DataFrame:
+    """Text-formatting normalizer (the FineWeb/C4 'formatters' pass that
+    runs before any hashing or filtering): fold typographic unicode to
+    ASCII equivalents (curly quotes, long dashes, ellipsis, exotic
+    spaces), strip zero-width characters and C0 controls, collapse
+    3+ newline runs to paragraph breaks, and trim trailing whitespace.
+    Emits ``formatted`` plus ``n_changed`` — the length delta after all
+    deletions/collapses plus the count of 1:1 rewrites (quotes, dashes,
+    spaces), cheap provenance for a corpus card.
+
+    Running this FIRST makes every downstream fingerprint/dedup stage
+    see through typographic variation (curly vs straight quotes would
+    otherwise defeat exact dedup on visually identical documents).
+
+    Scan-local regexp projection — zero shuffles, whole-stage codegen;
+    patterns are the same RE2-safe dialect as PII_PATTERNS, so the
+    DuckDB oracle replays them verbatim (rules applied in the same
+    order)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    out = text
+    for _name, pat, repl in rules:
+        out = F.regexp_replace(out, pat, repl)
+    rewrites = (
+        "[\u201c\u201d\u201e\u00ab\u00bb"
+        "\u2018\u2019\u201a\u2039\u203a"
+        "\u2013\u2014\u2015\u2212"
+        "\u00a0\u2000-\u200a\u202f\u205f\u3000]"
+    )
+    return df.withColumns(
+        {
+            "formatted": out,
+            "n_changed": (
+                F.length(text)
+                - F.length(out)
+                + F.regexp_count(text, F.lit(rewrites))
+            ).cast("long"),
+        }
+    )

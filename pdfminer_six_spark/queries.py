@@ -3341,6 +3341,80 @@ LIMIT 20
 """
 
 
+def q_normalize_formatting(spark, sf_dir):
+    """Formatting normalizer (ops.clean.normalize_formatting — the
+    FineWeb/C4 formatters pass).  The synthetic corpus is ASCII-clean,
+    so the query first injects deterministic typographic noise (curly
+    apostrophes, en-dashes via translate; a zero-width prefix; a
+    trailing ellipsis char) IN BOTH ENGINES, then normalizes — the
+    oracle therefore exercises every rewrite class, not the no-op
+    path."""
+    from pdfminer_six_spark.ops.clean import normalize_formatting
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("\u200b"),
+            F.translate(
+                F.coalesce(F.col("text"), F.lit("")),
+                "'-",
+                "\u2019\u2013",
+            ),
+            F.lit("\u2026"),
+        ).alias("text"),
+    )
+    return normalize_formatting(noisy).select(
+        "doc_id", "formatted", "n_changed"
+    )
+
+
+def _normalize_formatting_sql() -> str:
+    """Oracle generated FROM the same FORMATTING_RULES the op applies —
+    regexp_replace chain in rule order with the 'g' flag (DuckDB
+    replaces first-match-only by default), rewrite count via
+    len(regexp_extract_all)."""
+    from pdfminer_six_spark.ops.clean import FORMATTING_RULES
+
+    def sq(s):
+        return s.replace("'", "''")
+
+    def rex(pat):
+        # RE2 \x{...} escapes for anything non-printable-ASCII: literal
+        # control bytes (the C0 class includes NUL) terminate or corrupt
+        # a SQL string literal, and escapes keep the SQL single-line.
+        return "".join(
+            c if " " <= c <= "~" and c != "'" else
+            ("''" if c == "'" else f"\\x{{{ord(c):04x}}}")
+            for c in pat
+        )
+
+    expr = "text"
+    for _name, pat, repl in FORMATTING_RULES:
+        expr = f"REGEXP_REPLACE({expr}, '{rex(pat)}', '{sq(repl)}', 'g')"
+    rewrites = (
+        "[\u201c\u201d\u201e\u00ab\u00bb"
+        "\u2018\u2019\u201a\u2039\u203a"
+        "\u2013\u2014\u2015\u2212"
+        "\u00a0\u2000-\u200a\u202f\u205f\u3000]"
+    )
+    return f"""
+WITH noisy AS (
+  SELECT doc_id,
+         chr(8203)
+           || translate(COALESCE(text, ''), chr(39) || chr(45),
+                        chr(8217) || chr(8211))
+           || chr(8230) AS text
+  FROM documents)
+SELECT doc_id,
+       {expr} AS formatted,
+       CAST(length(text) - length({expr})
+            + len(regexp_extract_all(text, '{sq(rewrites)}'))
+         AS BIGINT) AS n_changed
+FROM noisy
+"""
+
+
 def _q_temperature_mix(spark, sf_dir, mode):
     """Temperature-scaled source mixing (ops.clean.temperature_mix,
     alpha=0.5 XLM-R/mT5 rebalancing) at a 60% doc budget.  Survivor
@@ -4186,6 +4260,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "temperature_mix_bucketed": (
         q_temperature_mix_bucketed,
         _SQL_TEMPERATURE_MIX,
+    ),
+    "normalize_formatting": (
+        q_normalize_formatting,
+        _normalize_formatting_sql(),
     ),
     "text_length_quantiles": (q_length_quantiles, _SQL_LENGTH_QUANTILES),
     "text_length_quantiles_sketch": (q_length_quantiles_sketch, None),

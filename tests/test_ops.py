@@ -2864,3 +2864,31 @@ def test_temperature_mix_targets_and_path_equality(spark):
         )
     web_ids = keyed(range(400))[:160]
     assert {i for i, s in exact if s == "web"} == set(web_ids)
+
+
+def test_normalize_formatting_rules(spark):
+    """Formatting normalizer on a hand-built string exercising every
+    rule class: zero-widths deleted, curly quotes/dashes/ellipsis/nbsp
+    folded to ASCII, C0 controls stripped, newline runs collapsed,
+    trailing whitespace trimmed; n_changed counts deletions + rewrites;
+    NULL text normalizes to ''."""
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.clean import normalize_formatting
+
+    noisy = (
+        "\u200bsaid \u201chello\u2019s\u201d \u2014 fine\u2026"
+        "\u00a0end \n\n\n\nnext line \t\n\x07done"
+    )
+    expect = (
+        'said "hello\'s" - fine... end\n\nnext line\ndone'
+    )
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": [noisy, None],
+    }))
+    rows = {r["doc_id"]: r for r in normalize_formatting(docs).collect()}
+    assert rows[1]["formatted"] == expect
+    # length delta covers deletions AND the ellipsis expansion; the
+    # rewrite count covers the five 1:1 folds (ldquo rsquo rdquo emdash nbsp)
+    assert rows[1]["n_changed"] == (len(noisy) - len(expect)) + 5
+    assert rows[2]["formatted"] == "" and rows[2]["n_changed"] == 0
