@@ -265,3 +265,40 @@ def windowed_turn_metrics(
             "n_pdf_turns",
         )
     )
+
+
+def streaming_incremental_dedup(
+    batch_stream: DataFrame,
+    seen_fps: DataFrame,
+    watermark: str = "2 hours",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming crawl-delta dedup — the streaming counterpart of
+    ops.dedup.incremental_exact, composing the two dedup layers a
+    continuous ingest needs:
+
+    1. **vs history**: a STREAM-STATIC left-anti join against the
+       persisted fingerprint index (the same ``fp`` relation the batch
+       job maintains).  Stream-static joins are stateless — each
+       micro-batch probes the static side, no state store involved —
+       and Catalyst broadcast-hashes the index when it fits, so this
+       scales exactly like the batch anti-join.
+    2. **vs itself**: ``dropDuplicatesWithinWatermark`` on the same
+       fingerprint for re-deliveries and intra-stream dups inside the
+       watermark horizon (bounded state; see streaming_dedup).
+
+    Rows that survive both layers carry ``fp`` so the sink can append
+    them straight onto the index for the next run — identical contract
+    to the batch job's ``--index-output``."""
+    from pdfminer_six_spark.ops.dedup import normalized_text
+
+    fp = F.md5(
+        normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    ).alias("fp")
+    keyed = batch_stream.withColumn("fp", fp)
+    fresh = keyed.join(
+        seen_fps.select("fp").distinct(), "fp", "left_anti"
+    )
+    return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )

@@ -2892,3 +2892,66 @@ def test_normalize_formatting_rules(spark):
     # rewrite count covers the five 1:1 folds (ldquo rsquo rdquo emdash nbsp)
     assert rows[1]["n_changed"] == (len(noisy) - len(expect)) + 5
     assert rows[2]["formatted"] == "" and rows[2]["n_changed"] == 0
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """Streaming crawl-delta dedup == batch incremental_exact on the
+    same input: the stream-static anti-join drops everything already in
+    the historical fingerprint index, dropDuplicatesWithinWatermark
+    drops intra-stream re-deliveries, and the surviving (doc, fp) set
+    equals the batch job's survivors exactly."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_six_spark.ops.dedup import incremental_exact
+    from pdfminer_six_spark.spark.streaming import (
+        streaming_incremental_dedup,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    hist = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["seen before", "also seen"],
+    }))
+    seen = incremental_exact(hist, spark.createDataFrame([], "fp string"))
+    seen_fps = seen.select("fp")
+
+    rows = [
+        (10, "seen  BEFORE", t0),                      # hits history
+        (11, "brand new", t0 + dt.timedelta(minutes=1)),
+        (12, "brand   NEW", t0 + dt.timedelta(minutes=2)),  # in-stream dup
+        (13, "another fresh", t0 + dt.timedelta(minutes=3)),
+    ]
+    src = tmp_path / "sid_in"
+    src.mkdir()
+    for i, r in enumerate(rows):
+        pdf_ = pd.DataFrame([r], columns=["doc_id", "text", "ts"])
+        pdf_["ts"] = pdf_["ts"].astype("datetime64[us]")
+        pdf_.to_parquet(str(src / f"f{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_incremental_dedup(stream, seen_fps, watermark="1 hour")
+        .writeStream.format("memory").queryName("sid_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["doc_id"], r["fp"])
+        for r in spark.sql("select doc_id, fp from sid_test").collect()
+    }
+
+    batch_docs = spark.createDataFrame(
+        pd.DataFrame([(d, t) for d, t, _ in rows], columns=["doc_id", "text"])
+    )
+    want = {
+        (r["doc_id"], r["fp"])
+        for r in incremental_exact(batch_docs, seen_fps).collect()
+    }
+    assert got == want
+    assert {d for d, _ in got} == {11, 13}
