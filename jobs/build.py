@@ -12,7 +12,12 @@ the other jobs expose piecewise):
     04_score    bigram-LM perplexity -> CCNet language/ppl buckets
                 (sketch cutoffs — the no-global-sort 100x path); keep
                 head/middle buckets
-    05_pack     greedy sharded sequence packing into --seq-len bins
+    05_mix      (optional, --mix-budget) temperature-scaled source
+                rebalancing (alpha=0.5, bucketed scale path)
+    06_pack     greedy sharded sequence packing into --seq-len bins; with
+                --shuffle-seed the packing order is train_order's
+                deterministic md5 permutation (the global training-data
+                shuffle), not crawl order
 
 Usage:
 
@@ -52,7 +57,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STAGES = ("extract", "clean", "dedup", "score", "pack")
+STAGES = ("extract", "clean", "dedup", "score", "mix", "pack")
 
 
 def build_args(argv=None):
@@ -72,6 +77,15 @@ def build_args(argv=None):
                    help="tokens per packed training sequence")
     p.add_argument("--n-shards", type=int, default=32,
                    help="independent packing shards (scale with cluster)")
+    p.add_argument("--mix-budget", type=int, default=None,
+                   help="optional stage 05: temperature-scaled source "
+                        "mixing (alpha=0.5) down to this many docs "
+                        "before packing; omit to skip the stage")
+    p.add_argument("--shuffle-seed", default=None,
+                   help="optional: deterministic training-order shuffle "
+                        "before packing — sequences are packed in the "
+                        "md5(seed:id) permutation order instead of "
+                        "doc-id order (train_order's contract)")
     p.add_argument("--keep-buckets", default="1,2",
                    help="comma list of CCNet ppl buckets to keep "
                         "(1=head 2=middle 3=tail; CCNet trains on 1,2)")
@@ -136,6 +150,8 @@ def run(spark, args) -> dict:
         pack_sequences,
         paragraph_dedup,
         redact_pii,
+        temperature_mix,
+        train_order,
     )
     from pdfminer_six_spark.ops.dedup import normalized_text
     from pdfminer_six_spark.ops.retrieval import ccnet_buckets
@@ -229,9 +245,38 @@ def run(spark, args) -> dict:
 
     scored = b.run_stage(4, "score", _score)
 
-    # ---- 05 pack: sharded greedy packing into seq-len bins ----
+    # ---- 05 mix (optional): temperature-scaled source rebalancing ----
+    if args.mix_budget:
+        def _mix():
+            sel = temperature_mix(
+                scored, budget_docs=args.mix_budget, id_col="doc_id",
+                mode="bucketed",
+            )
+            return scored.join(
+                sel.select("doc_id"), "doc_id", "left_semi"
+            )
+
+        to_pack = b.run_stage(5, "mix", _mix)
+    else:
+        to_pack = scored
+        b.stats["mix"] = {"action": "skipped (no --mix-budget)"}
+
+    # ---- 06 pack: sharded greedy packing into seq-len bins ----
     def _pack():
-        keyed = scored.withColumn("doc_num", F.xxhash64("doc_id"))
+        if args.shuffle_seed:
+            # pack in the shuffled order: train_order's contiguous pos
+            # becomes the packing id, so shard assignment and intra-
+            # shard order follow the md5 permutation (the training-data
+            # global shuffle), not crawl order
+            order = train_order(
+                to_pack, seed=args.shuffle_seed, id_col="doc_id",
+                mode="sharded",
+            ).select("doc_id", "pos")
+            keyed = to_pack.join(order, "doc_id").withColumn(
+                "doc_num", F.col("pos")
+            )
+        else:
+            keyed = to_pack.withColumn("doc_num", F.xxhash64("doc_id"))
         packed = pack_sequences(
             keyed,
             capacity=args.seq_len,
@@ -243,7 +288,7 @@ def run(spark, args) -> dict:
             keyed.select("doc_num", "doc_id", "source"), "doc_num"
         ).drop("doc_num")
 
-    packed = b.run_stage(5, "pack", _pack)
+    packed = b.run_stage(6, "pack", _pack)
 
     packed.write.mode("overwrite").parquet(args.output)
     final = spark.read.parquet(args.output)

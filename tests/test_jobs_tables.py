@@ -449,7 +449,8 @@ def test_build_job_end_to_end_and_failure_injection_resume(spark, tmp_path):
     wd1, out1 = tmp_path / "wd1", tmp_path / "out1"
     stats1 = job.run(spark, job.build_args([
         "--input", str(inp), "--workdir", str(wd1), "--output", str(out1),
-        "--seq-len", "128",
+        "--seq-len", "128", "--mix-budget", "500",
+        "--shuffle-seed", "bshuf",
     ]))
     assert all(stats1[s]["action"] == "computed" for s in job.STAGES)
     final = spark.read.parquet(str(out1)).toPandas()
@@ -463,7 +464,8 @@ def test_build_job_end_to_end_and_failure_injection_resume(spark, tmp_path):
     # ---- crash after stage 3, then resume ----
     wd2, out2 = tmp_path / "wd2", tmp_path / "out2"
     argv = ["--input", str(inp), "--workdir", str(wd2),
-            "--output", str(out2), "--seq-len", "128"]
+            "--output", str(out2), "--seq-len", "128",
+            "--mix-budget", "500", "--shuffle-seed", "bshuf"]
     with pytest.raises(RuntimeError, match="injected failure"):
         job.run(spark, job.build_args(argv + ["--fail-after", "dedup"]))
     committed = {p: os.path.getmtime(os.path.join(wd2, p, "_SUCCESS"))
@@ -472,7 +474,7 @@ def test_build_job_end_to_end_and_failure_injection_resume(spark, tmp_path):
 
     stats2 = job.run(spark, job.build_args(argv + ["--resume"]))
     assert [stats2[s]["action"] for s in job.STAGES] == (
-        ["skipped"] * 3 + ["computed"] * 2
+        ["skipped"] * 3 + ["computed"] * 3
     )
     for p, mtime in committed.items():
         assert os.path.getmtime(os.path.join(wd2, p, "_SUCCESS")) == mtime
