@@ -429,3 +429,153 @@ def semdedup_kmeans(
     return semdedup(
         embeddings, centers, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
+
+
+def kmeans_fixed_point(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 4,
+    scale: int = 10**4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means with an INTEGER-EXACT fixed-point contract — the
+    fully-oracled counterpart of the pyspark.ml quantizer ``ivf_topk`` /
+    ``semdedup_kmeans`` train (which is engine-specific and can only be
+    verified rows-only).  Every quantity both engines compare is an exact
+    BIGINT, so the whole iterative loop is oracle-stable the same way
+    ``bpe_train``'s merge sequence and ``temperature_mix``'s isqrt
+    weights are:
+
+    - quantize once: ``q = CAST(ROUND(x * scale) AS BIGINT)`` per
+      coordinate (one float op on identical float32 inputs; both engines
+      round half-away-from-zero on identical doubles, so they agree
+      everywhere except a double landing EXACTLY on .5 — measure-zero for
+      data-derived floats, and even then both engines still agree);
+    - init: the quantized vectors of the ``k`` smallest ids
+      (TakeOrderedAndProject — a top-k, not a global sort), cells 0..k-1
+      in id order;
+    - assignment: ``argmin_j sum((q_i - c_j)^2)`` in exact BIGINT
+      arithmetic, ties broken toward the smallest cell id;
+    - update: element-wise ``FLOOR(sum / count)`` — floor-toward-minus-
+      infinity integer division (exact: for integer a, b the double
+      quotient errs by <= |a/b|*2^-53 < 1/(2b) whenever b < ~9e11, so
+      FLOOR can never cross an integer boundary at any realistic cell
+      population; DuckDB's ``//`` truncates toward zero instead, so BOTH
+      sides spell it FLOOR(a/b));
+    - an emptied cell keeps its previous centroid.
+
+    Returns the FINAL assignment ``(vec_id, cell, dist_sq)`` after
+    ``n_iters`` centroid updates — dist_sq is the exact integer squared
+    distance in quantized units, so per-cell inertia aggregates are also
+    exact.
+
+    Scale (100 TB): each iteration is ONE scan of the input + a map-side-
+    combinable ``(cell, pos)`` aggregate with k*dim groups (tiny shuffle,
+    skew-immune: partial aggregation collapses any cell imbalance on the
+    map side) + a k*dim-row driver collect — the sanctioned model-state
+    pattern (pyspark.ml KMeans does the same via treeAggregate; bpe_train
+    precedent).  Assignment is pure whole-stage codegen over LITERAL
+    centroid arrays — no join, no broadcast, no BNLJ — and each iteration
+    rebuilds its plan from the source relation with fresh literals, so
+    lineage depth stays constant.  Callers at TB scale should persist /
+    checkpoint the (id, qv) projection once and pass it in; the loop
+    composes with a persisted input unchanged.  Quantization error is
+    bounded by 1/scale per coordinate (the same resolution trade PQ/int8
+    ANN indexes make).
+    """
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    q = embeddings.select(F.col(id_col).alias("_kid"), qv.alias("_qv"))
+
+    init = q.orderBy("_kid").limit(k).collect()
+    cents: List[List[int]] = [list(r["_qv"]) for r in init]
+
+    def _assign(df: DataFrame) -> DataFrame:
+        cent_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("cell"),
+                    F.array(*[F.lit(int(v)) for v in c]).alias("cv"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        best = F.array_min(
+            F.transform(
+                cent_lit,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_qv"), c["cv"], lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    c["cell"].alias("cell"),
+                ),
+            )
+        )
+        return df.withColumn("_best", best)
+
+    for _ in range(n_iters):
+        upd = (
+            _assign(q)
+            .select(F.col("_best.cell").alias("cell"), F.posexplode("_qv"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell",
+                "pos",
+                F.floor(F.col("s") / F.col("n")).cast("long").alias("cv"),
+            )
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in upd:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["cv"]
+        for j in range(k):  # emptied cell keeps its previous centroid
+            if j in by_cell:
+                cents[j] = [by_cell[j][p] for p in range(len(cents[j]))]
+
+    return _assign(q).select(
+        F.col("_kid").alias(id_col),
+        F.col("_best.cell").alias("cell"),
+        F.col("_best.d").alias("dist_sq"),
+    )
+
+
+def kmeans_balanced_select(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iters: int = 4,
+    per_cell: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced curation (the D4 / DataComp recipe: diversify by
+    quantizing the embedding space, then cap each cluster's contribution):
+    keep at most ``per_cell`` vectors per k-means cell, chosen in the
+    deterministic md5(id) permutation order (the same engine-neutral
+    "random but reproducible" order ``train_order`` / ``corpus_mix`` use,
+    so the selection is a fixed set, not a float-threshold lottery).
+
+    Returns ``(vec_id, cell)`` for the kept vectors.
+
+    Scale: the cap is a per-cell top-N — a window sort per cell, the same
+    pattern as ``window_topn_per_customer``; cells are k-bounded so AQE
+    skew-split applies, and per_cell is small so the rank short-circuits
+    via WindowGroupLimit (rank pushdown) in Spark 4.
+    """
+    assigned = kmeans_fixed_point(
+        embeddings, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+    )
+    order = F.md5(F.concat(F.lit("kmsel:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("cell").orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_cell)
+        .select(id_col, "cell")
+    )

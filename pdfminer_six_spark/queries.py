@@ -3031,6 +3031,119 @@ def q_semdedup_kmeans(spark, sf_dir):
     )
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Fully-ORACLED iterative Lloyd's k-means
+    (ops.ann.kmeans_fixed_point): 4 assignment/update iterations, k=8,
+    over the embeddings table under the integer-exact fixed-point
+    contract (quantize once to BIGINT, exact integer distances,
+    floor-division centroid means, ties to the smallest cell).  The
+    DuckDB oracle replays the identical loop UNROLLED into per-iteration
+    CTE layers (assign -> floor-mean update) — the bpe_train pattern: a
+    genuinely independent second implementation of the whole training
+    loop, exact BIGINT at every step, so the oracle pins the ITERATIVE
+    algorithm itself, not just one pass (the pyspark.ml quantizer behind
+    ivf/semdedup can only ever be rows-only)."""
+    return ann.kmeans_fixed_point(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iters=4
+    )
+
+
+def q_kmeans_report(spark, sf_dir):
+    """Per-cell summary of the oracled k-means loop: cluster population
+    + exact integer inertia (sum of quantized squared distances) — the
+    convergence/quality report a curation pipeline logs per corpus
+    snapshot.  Shares the unrolled-CTE oracle chain with
+    ``kmeans_assign``."""
+    a = ann.kmeans_fixed_point(_t(spark, sf_dir, "embeddings"), k=8, n_iters=4)
+    return a.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("dist_sq").alias("inertia"),
+    )
+
+
+def q_kmeans_balanced_select(spark, sf_dir):
+    """Cluster-balanced curation (the D4 / DataComp recipe): cap each
+    k-means cell at 40 vectors chosen in the deterministic md5(id)
+    permutation order — diversify the corpus by quantizing the embedding
+    space and bounding every cell's contribution.  Selection is a fixed
+    set (hash order, not a float threshold), so the oracle extends the
+    same unrolled k-means chain with one ranked window."""
+    return ann.kmeans_balanced_select(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iters=4, per_cell=40
+    )
+
+
+def _kmeans_sql(k: int, n_iters: int, scale: int, final: str) -> str:
+    """Unrolled-loop DuckDB oracle for ``kmeans_fixed_point`` (the
+    bpe_train pattern): layer i assigns every vector to its nearest
+    c{i} centroid by exact integer squared distance (ROW_NUMBER over
+    (d, cell) — the same total order Spark's array_min(struct(d, cell))
+    uses), then c{i+1} takes the element-wise FLOOR(sum/count) mean,
+    with an emptied cell keeping its previous centroid via the LEFT
+    JOIN + COALESCE.  All layers MATERIALIZED — every c{i} is referenced
+    by both the next assignment and the next update, and DuckDB's
+    default CTE inlining would recompute the whole chain per reference
+    (the measured 51s -> 0.12s bpe_train lesson)."""
+    layers = [
+        f"""
+c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k}) s)"""
+    ]
+    dist = (
+        "list_sum(list_transform(range(1, len(q.v) + 1), "
+        "j -> (q.v[j] - c.v[j]) * (q.v[j] - c.v[j])))"
+    )
+    for i in range(n_iters):
+        layers.append(
+            f"""
+a{i} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT q.vec_id, q.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+    FROM q, c{i} AS c) s
+  WHERE rn = 1),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.cell, COALESCE(n.v, c.v) AS v
+  FROM c{i} AS c LEFT JOIN (
+    SELECT cell, ARRAY_AGG(cv ORDER BY pos) AS v FROM (
+      SELECT cell, pos,
+             CAST(FLOOR(SUM(val)::DOUBLE / COUNT(*)) AS BIGINT) AS cv
+      FROM (SELECT cell, UNNEST(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM a{i}) u
+      GROUP BY cell, pos) g
+    GROUP BY cell) n ON n.cell = c.cell)"""
+        )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS v
+  FROM embeddings),{",".join(layers)},
+afin AS MATERIALIZED (
+  SELECT vec_id, cell, CAST(d AS BIGINT) AS dist_sq FROM (
+    SELECT q.vec_id, c.cell, {dist} AS d,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+    FROM q, c{n_iters} AS c) s
+  WHERE rn = 1)
+{final}
+"""
+
+
+_SQL_KMEANS_ASSIGN_FINAL = "SELECT vec_id, cell, dist_sq FROM afin"
+_SQL_KMEANS_REPORT_FINAL = """
+SELECT cell, COUNT(*) AS n_vecs, CAST(SUM(dist_sq) AS BIGINT) AS inertia
+FROM afin GROUP BY cell"""
+_SQL_KMEANS_SELECT_FINAL = """
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell
+           ORDER BY md5('kmsel:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM afin) s
+WHERE rn <= 40"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sharded greedy sequence packing (ops.clean.pack_sequences):
     documents laid end-to-end in id order within doc_id%32 shards and cut
@@ -4233,6 +4346,18 @@ QUERIES: Dict[str, QuerySpec] = {
     #      demos aging in the tail
     "media_pipeline": (q_media_pipeline, None),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
+    "kmeans_assign": (
+        q_kmeans_assign,
+        _kmeans_sql(8, 4, 10**4, _SQL_KMEANS_ASSIGN_FINAL),
+    ),
+    "kmeans_report": (
+        q_kmeans_report,
+        _kmeans_sql(8, 4, 10**4, _SQL_KMEANS_REPORT_FINAL),
+    ),
+    "kmeans_balanced_select": (
+        q_kmeans_balanced_select,
+        _kmeans_sql(8, 4, 10**4, _SQL_KMEANS_SELECT_FINAL),
+    ),
     "deterministic_split": (q_deterministic_split, _SQL_DETERMINISTIC_SPLIT),
     "group_sample": (q_group_sample, _SQL_GROUP_SAMPLE),
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),

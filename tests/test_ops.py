@@ -2955,3 +2955,89 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert {d for d, _ in got} == {11, 13}
+
+
+def test_kmeans_fixed_point_equals_numpy_replica(spark):
+    """The integer-exact Lloyd's loop (ops.ann.kmeans_fixed_point) against
+    a from-scratch numpy replica of the same fixed-point contract — a
+    third independent implementation (the DuckDB unrolled-CTE oracle is
+    the second): quantize once, exact integer distances, ties to the
+    smallest cell, floor-division centroid means, emptied cells keep
+    their previous centroid."""
+    import numpy as np
+
+    from pdfminer_six_spark.ops.ann import kmeans_fixed_point
+
+    rng = np.random.RandomState(7)
+    n, dim, k, iters, scale = 120, 6, 4, 3, 10**4
+    vecs = rng.uniform(-0.5, 0.5, size=(n, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["dist_sq"])
+        for r in kmeans_fixed_point(df, k=k, n_iters=iters).collect()
+    }
+
+    q = np.rint(vecs.astype("float64") * scale).astype("int64")
+    cents = [q[i].copy() for i in range(k)]  # k smallest ids
+
+    def assign(c):
+        d = ((q[:, None, :] - np.stack(c)[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)  # argmin takes the first (smallest) index
+        return cell, d[np.arange(n), cell]
+
+    for _ in range(iters):
+        cell, _d = assign(cents)
+        for j in range(k):
+            members = q[cell == j]
+            if len(members):
+                cents[j] = np.floor(
+                    members.sum(axis=0) / len(members)
+                ).astype("int64")
+    cell, d = assign(cents)
+    want = {i: (int(cell[i]), int(d[i])) for i in range(n)}
+    assert got == want
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """Duplicate init vectors force an emptied cell (ties go to the
+    smaller cell id, so the duplicate's cell gets no members): the loop
+    must keep its previous centroid rather than NaN/drop it, and the
+    final assignment still never uses the dead cell."""
+    from pdfminer_six_spark.ops.ann import kmeans_fixed_point
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0])] + [
+        (i, [1.0 + (i % 3) * 0.001, 1.0]) for i in range(2, 12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = kmeans_fixed_point(df, k=2, n_iters=3).collect()
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    # iter 1: both centroids identical -> every vector ties to cell 0,
+    # cell 1 empties and KEEPS [0,0]; iter 2: the origin points defect to
+    # the kept [0,0] centroid — the dead cell revives instead of NaN-ing.
+    assert cells[0] == cells[1] == 1
+    assert {cells[i] for i in range(2, 12)} == {0}
+    assert len(out) == 12
+
+
+def test_kmeans_balanced_select_caps_and_determinism(spark):
+    """Per-cell cap honored exactly; selection is a deterministic set
+    (same rows on a second run)."""
+    from pdfminer_six_spark.ops.ann import kmeans_balanced_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = kmeans_balanced_select(emb, k=8, n_iters=2, per_cell=7)
+    got = sorted((r["vec_id"], r["cell"]) for r in a.collect())
+    import collections
+
+    per = collections.Counter(c for _, c in got)
+    assert max(per.values()) <= 7
+    again = sorted(
+        (r["vec_id"], r["cell"])
+        for r in kmeans_balanced_select(
+            emb, k=8, n_iters=2, per_cell=7
+        ).collect()
+    )
+    assert got == again
