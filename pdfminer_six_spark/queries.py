@@ -3073,6 +3073,70 @@ def q_kmeans_balanced_select(spark, sf_dir):
     )
 
 
+def q_cluster_domain_report(spark, sf_dir):
+    """Domain-aware corpus accounting: discover domains by clustering the
+    embedding space with the ORACLED fixed-point k-means, then join the
+    cells back to the documents table (vec_id = doc_id) and report, per
+    cell: document count, total whitespace tokens, majority source
+    (deterministic mode — ties to the lexicographically smallest), and
+    distinct languages.  The per-cell mix a curation pipeline reads
+    before setting domain weights (the DoReMi/D4 input relation).
+
+    Scale: the join is id-equi (co-partitionable with the corpus);
+    per-cell aggregates are map-side combinable; the majority-source
+    window runs over the POST-aggregation (cell, source) relation — k ×
+    n_sources rows, trivially small at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = ann.kmeans_fixed_point(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iters=4
+    ).select(F.col("vec_id").alias("doc_id"), "cell")
+    toks = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    joined = docs.join(cells, "doc_id").select(
+        "cell", "source", "lang", toks.alias("n_toks")
+    )
+    per_source = joined.groupBy("cell", "source").agg(
+        F.count(F.lit(1)).alias("sn")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("sn").desc(), F.col("source").asc()
+    )
+    majority = (
+        per_source.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("source").alias("majority_source"))
+    )
+    stats = joined.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    return stats.join(majority, "cell").select(
+        "cell", "n_docs", "n_tokens", "majority_source", "n_langs"
+    )
+
+
+_SQL_CLUSTER_DOMAIN_FINAL = """
+SELECT cell, n_docs, n_tokens, majority_source, n_langs FROM (
+  SELECT a.cell,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT d.lang) AS n_langs
+  FROM afin a JOIN documents d ON d.doc_id = a.vec_id
+  GROUP BY a.cell) st
+JOIN (
+  SELECT cell, source AS majority_source FROM (
+    SELECT a.cell, d.source, COUNT(*) AS sn,
+           ROW_NUMBER() OVER (PARTITION BY a.cell
+                              ORDER BY COUNT(*) DESC, d.source ASC) AS rn
+    FROM afin a JOIN documents d ON d.doc_id = a.vec_id
+    GROUP BY a.cell, d.source) m
+  WHERE rn = 1) mj USING (cell)
+"""
+
+
 def _kmeans_sql(k: int, n_iters: int, scale: int, final: str) -> str:
     """Unrolled-loop DuckDB oracle for ``kmeans_fixed_point`` (the
     bpe_train pattern): layer i assigns every vector to its nearest
@@ -4357,6 +4421,10 @@ QUERIES: Dict[str, QuerySpec] = {
     "kmeans_balanced_select": (
         q_kmeans_balanced_select,
         _kmeans_sql(8, 4, 10**4, _SQL_KMEANS_SELECT_FINAL),
+    ),
+    "cluster_domain_report": (
+        q_cluster_domain_report,
+        _kmeans_sql(8, 4, 10**4, _SQL_CLUSTER_DOMAIN_FINAL),
     ),
     "deterministic_split": (q_deterministic_split, _SQL_DETERMINISTIC_SPLIT),
     "group_sample": (q_group_sample, _SQL_GROUP_SAMPLE),
