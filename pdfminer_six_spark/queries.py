@@ -4171,22 +4171,12 @@ SELECT 3, 'c4_line', n2, t2, n3, t3 FROM tot
 """
 
 
-def q_subword_encode(spark, sf_dir):
-    """Greedy longest-match subword encode (ops.textstats.
-    subword_tokenize) under a corpus-derived vocab: the top-8 corpus
-    words (count desc, token asc — deterministic boundary) plus the 36
-    single characters a-z 0-9, with '<unk>' character fallback.  The
-    vocab is model-sized (driver-collected, the LM-artifact pattern);
-    the Python encoder runs only over DISTINCT words (the Zipf cache),
-    and the oracle replays the exact greedy automaton as a DuckDB
-    recursive CTE."""
-    from pdfminer_six_spark.ops.textstats import (
-        normalized_text,
-        subword_tokenize,
-        tokens_col,
-    )
+def _subword_corpus_vocab(docs) -> list:
+    """The corpus-derived demo vocab the subword queries share: top-8
+    corpus words (count desc, token asc — deterministic boundary) plus
+    the 36 single characters a-z 0-9."""
+    from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
 
-    docs = _t(spark, sf_dir, "documents")
     tf = docs.select(
         F.explode(
             tokens_col(normalized_text(F.col("text")))
@@ -4196,11 +4186,68 @@ def q_subword_encode(spark, sf_dir):
         r["token"]
         for r in tf.orderBy(F.col("c").desc(), "token").limit(8).collect()
     ]
-    vocab = top + [chr(c) for c in range(97, 123)] + [str(d) for d in range(10)]
-    return subword_tokenize(docs, vocab)
+    return top + [chr(c) for c in range(97, 123)] + [str(d) for d in range(10)]
 
 
-_SQL_SUBWORD_ENCODE = """
+def q_subword_encode(spark, sf_dir):
+    """Greedy longest-match subword encode (ops.textstats.
+    subword_tokenize) under a corpus-derived vocab with '<unk>'
+    character fallback.  The vocab is model-sized (driver-collected, the
+    LM-artifact pattern); the Python encoder runs only over DISTINCT
+    words (the Zipf cache), and the oracle replays the exact greedy
+    automaton as a DuckDB recursive CTE."""
+    from pdfminer_six_spark.ops.textstats import subword_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return subword_tokenize(docs, _subword_corpus_vocab(docs))
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (the tokenizer-equity metric
+    multilingual pipelines track: pieces per word — Ács 2019 / XLM-R
+    analyses): run the same greedy subword encode, join languages back,
+    and aggregate exact piece/word/unk counts per lang plus the two
+    ratios.  Ratios are divisions of identical BIGINT sums, so both
+    engines produce bit-identical doubles — no ROUND needed (the driver
+    canonicalizer rounds both sides the same way)."""
+    from pdfminer_six_spark.ops.textstats import subword_tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = subword_tokenize(docs, _subword_corpus_vocab(docs))
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("n_unk").alias("n_unk"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_pieces",
+            "n_unk",
+            (F.col("n_pieces").cast("double") / F.col("n_words")).alias(
+                "fertility"
+            ),
+            (F.col("n_unk").cast("double") / F.col("n_pieces")).alias(
+                "unk_rate"
+            ),
+        )
+    )
+
+
+def _subword_encode_sql(final: str) -> str:
+    """Shared recursive-CTE subword-encode chain (greedy longest-match
+    automaton over distinct words); ``final`` selects from ``enc_stats``
+    (doc_id, n_words, n_pieces, n_unk, pieces).  A parameterized builder
+    — not post-hoc string surgery — per the r4 advice on _lang_sql."""
+    return _SQL_SUBWORD_CHAIN + final
+
+
+_SQL_SUBWORD_CHAIN = """
 WITH RECURSIVE toks AS (
   SELECT doc_id, UNNEST(t) AS word,
          generate_subscripts(t, 1) - 1 AS pos
@@ -4241,14 +4288,32 @@ per AS (
          COUNT(*) AS n_words,
          string_agg(e.pieces, ' ' ORDER BY t.pos) AS pieces
   FROM toks t JOIN encoded e USING (word)
-  GROUP BY t.doc_id)
-SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
-       CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces,
-       CAST(len(list_filter(string_split(pieces, ' '),
-                            x -> x = '<unk>')) AS BIGINT) AS n_unk,
-       pieces
-FROM per
+  GROUP BY t.doc_id),
+enc_stats AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces,
+         CAST(len(list_filter(string_split(pieces, ' '),
+                              x -> x = '<unk>')) AS BIGINT) AS n_unk,
+         pieces
+  FROM per)
 """
+
+_SQL_SUBWORD_ENCODE = _subword_encode_sql(
+    "SELECT doc_id, n_words, n_pieces, n_unk, pieces FROM enc_stats"
+)
+
+_SQL_TOKENIZER_FERTILITY = _subword_encode_sql("""
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(e.n_unk) AS BIGINT) AS n_unk,
+       CAST(SUM(e.n_pieces) AS DOUBLE) / CAST(SUM(e.n_words) AS BIGINT)
+         AS fertility,
+       CAST(SUM(e.n_unk) AS DOUBLE) / CAST(SUM(e.n_pieces) AS BIGINT)
+         AS unk_rate
+FROM enc_stats e JOIN documents d USING (doc_id)
+GROUP BY d.lang""")
 
 
 _TOKEN_BUDGET = 2000
@@ -4441,6 +4506,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "token_budget": (q_token_budget, _SQL_TOKEN_BUDGET),
     "token_budget_bucketed": (q_token_budget_bucketed, _SQL_TOKEN_BUDGET),
     "subword_encode": (q_subword_encode, _SQL_SUBWORD_ENCODE),
+    "tokenizer_fertility": (q_tokenizer_fertility, _SQL_TOKENIZER_FERTILITY),
     "bpe_train": (q_bpe_train, _bpe_train_sql(10)),
     "train_order": (q_train_order, _SQL_TRAIN_ORDER),
     "train_order_sharded": (q_train_order_sharded, _SQL_TRAIN_ORDER),
