@@ -3073,6 +3073,29 @@ def q_kmeans_balanced_select(spark, sf_dir):
     )
 
 
+def q_pdfcorpus_scan(spark, sf_dir):
+    """The Spark-4 Python DataSource surface: a raw PDF directory as a
+    first-class format (`spark.read.format("pdfcorpus")`) with source-
+    level LPT partition planning and (path, length) filter pushdown that
+    prunes at LISTING time.  Rows-only for the driver (the source reads
+    a filesystem directory, not a DuckDB-visible table); row-for-row
+    equality against the binaryFile+mapInPandas path is pytest-pinned
+    (test_pdfcorpus_datasource_equals_binaryfile_path)."""
+    import os
+
+    from pdfminer_six_spark.spark.sources import register_pdf_corpus_source
+
+    register_pdf_corpus_source(spark)
+    base = os.environ.get("PDF_SAMPLES_DIR", "/root/reference/samples")
+    return (
+        spark.read.format("pdfcorpus")
+        .option("numPartitions", "8")
+        .load(base)
+        .filter(F.col("length") > 0)
+        .select("path", "length", "n_pages", "status")
+    )
+
+
 def q_cluster_domain_report(spark, sf_dir):
     """Domain-aware corpus accounting: discover domains by clustering the
     embedding space with the ORACLED fixed-point k-means, then join the
@@ -4474,6 +4497,7 @@ QUERIES: Dict[str, QuerySpec] = {
     #      not_in_null_trap, topk_orders, cube_orders — r02/r03-green
     #      demos aging in the tail
     "media_pipeline": (q_media_pipeline, None),
+    "pdfcorpus_scan": (q_pdfcorpus_scan, None),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
     "kmeans_assign": (
         q_kmeans_assign,

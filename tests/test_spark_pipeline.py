@@ -366,3 +366,87 @@ def test_registry_order_contract():
             if order.index(q) >= 45}
     assert not late, f"first-class queries past the driver window: {late}"
     assert order[0] == "extract_transcripts"
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference corpus")
+def test_pdfcorpus_datasource_equals_binaryfile_path(spark):
+    """The Spark-4 Python DataSource (`spark.read.format('pdfcorpus')`)
+    must produce exactly the rows the binaryFile+mapInPandas path does on
+    the same directory — same texts, same page counts, same statuses."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.spark.sources import (
+        extract_pdf_corpus,
+        read_pdf_corpus,
+        register_pdf_corpus_source,
+    )
+
+    register_pdf_corpus_source(spark)
+    root = "/root/reference/samples"
+    via_ds = {
+        r["path"]: (r["text"], r["n_pages"], r["status"])
+        for r in spark.read.format("pdfcorpus")
+        .option("numPartitions", "3")
+        .load(root)
+        .collect()
+    }
+    via_bf = {
+        r["path"].replace("file:", ""): (r["text"], r["n_pages"], r["status"])
+        for r in extract_pdf_corpus(read_pdf_corpus(spark, root)).collect()
+    }
+    assert via_ds == via_bf
+    assert len(via_ds) >= 10
+    # metadata pushdown: a length predicate prunes files BEFORE reading
+    small = (
+        spark.read.format("pdfcorpus")
+        .load(root)
+        .filter(F.col("length") <= 2000)
+    )
+    assert {r["path"] for r in small.collect()} == {
+        p for p, (_, _, _s) in via_bf.items()
+        if __import__("os").path.getsize(p) <= 2000
+    }
+
+
+def test_pdfcorpus_reader_pushdown_prunes_listing_and_lpt_balances():
+    """Driver-side reader unit contract: pushed (path, length) filters
+    shrink the PLANNED partitions (pruning happens at listing time), the
+    unsupported remainder is handed back to Spark, and LPT bins are
+    size-balanced."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        LessThanOrEqual,
+        StringEndsWith,
+    )
+
+    from pdfminer_six_spark.spark.sources import _make_pdf_corpus_classes
+
+    _, reader_cls = _make_pdf_corpus_classes()
+    opts = {"path": "/root/reference/samples", "numpartitions": "4"}
+
+    r = reader_cls(dict(opts))
+    all_files = {f for p in r.partitions() for f in p.files}
+    assert len(all_files) == 10
+
+    r2 = reader_cls(dict(opts))
+    leftover = list(
+        r2.pushFilters(
+            [
+                LessThanOrEqual(("length",), 2000),
+                StringEndsWith(("path",), ".pdf"),
+                EqualTo(("status",), "ok"),  # not metadata -> not pushed
+            ]
+        )
+    )
+    assert [type(f) for f in leftover] == [EqualTo]
+    pruned = {f for p in r2.partitions() for f in p.files}
+    assert pruned == {(p, s) for p, s in all_files if s <= 2000}
+    assert 0 < len(pruned) < len(all_files)
+
+    # LPT balance: no bin more than ~2x the mean byte load on this corpus
+    r3 = reader_cls(dict(opts))
+    r3.pushFilters([GreaterThan(("length",), 0)])
+    loads = [sum(s for _, s in p.files) for p in r3.partitions()]
+    assert len(loads) == 4 and min(loads) > 0
+    assert max(loads) <= 2 * (sum(loads) / len(loads))
