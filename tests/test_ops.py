@@ -3041,3 +3041,96 @@ def test_kmeans_balanced_select_caps_and_determinism(spark):
         ).collect()
     )
     assert got == again
+
+
+def test_conversation_sessions_tws_equals_legacy_stateful(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas sessionizer (named value state
+    + explicit event-time timers, RocksDB state store) must emit exactly
+    the rows the applyInPandasWithState twin emits on identical input.
+
+    TWS's state-server protocol is protobuf-based
+    (pyspark/sql/streaming/proto/StateMessage_pb2); this container ships
+    no protobuf and installs are off-limits, so the test skips where the
+    protocol cannot start — the sanctioned PIL-decode pattern."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state "
+               "protocol; not available in this container",
+    )
+    import datetime as dt
+
+    import pandas as pd
+
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import (
+        conversation_sessions,
+        conversation_sessions_tws,
+    )
+
+    src = tmp_path / "tws_in"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(str(src / name))
+
+    write("f1.parquet", [
+        ("convA", 0, "user", "hi", "", t0),
+        ("convA", 1, "assistant", "hello", "pdf",
+         t0 + dt.timedelta(minutes=5)),
+        ("convC", 0, "user", "solo", "pdf", t0 + dt.timedelta(minutes=1)),
+    ])
+    write("f2.parquet", [("convB", 0, "user", "later", "",
+                          t0 + dt.timedelta(hours=4))])
+    write("f3.parquet", [("convB", 1, "user", "more", "",
+                          t0 + dt.timedelta(hours=5))])
+
+    def run(op, qname, provider=None):
+        old = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                             None)
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        try:
+            stream = (
+                spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            sessions = op(stream, gap="30 minutes", watermark="1 hour")
+            q = (
+                sessions.writeStream.format("memory").queryName(qname)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(180)
+            return {
+                (r.conv_id, r.session_start, r.session_end, r.n_turns,
+                 r.n_pdf_turns, r.closed)
+                for r in spark.sql(f"select * from {qname}").collect()
+            }
+        finally:
+            if provider:
+                if old is None:
+                    spark.conf.unset(
+                        "spark.sql.streaming.stateStore.providerClass"
+                    )
+                else:
+                    spark.conf.set(
+                        "spark.sql.streaming.stateStore.providerClass", old
+                    )
+
+    got_tws = run(
+        conversation_sessions_tws,
+        "tws_sessions",
+        provider="org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider",
+    )
+    got_legacy = run(conversation_sessions, "legacy_sessions")
+    assert got_tws == got_legacy
+    assert {c for c, *_ in got_tws} == {"convA", "convC"}
