@@ -133,6 +133,13 @@ def shingles(
     # zip_with form evaluates each slice once per ROW.  Interleaved
     # best-of A/B at sf0.1, identical output both ways (exceptAll 0/0):
     # the shingle base aggregate dropped 8.2 -> 1.1 s.
+    # NOT rebalanced (cf. textstats.rebalance_for_compute): an interleaved
+    # A/B at sf0.1 measured the round-robin text shuffle SLOWER here
+    # (jaccard_pairs 3.3 -> 7.7 s) — the shingle relation feeds equi-joins
+    # and doc_id aggregates whose own exchanges already spread the work,
+    # so the extra scan shuffle only adds cost.  repetition_signals keeps
+    # the rebalance because its whole op is scan-local (no downstream
+    # exchange to piggyback on): 5.4 -> 2.2 s same A/B.
     toks = tokens_col(normalized_text(F.col(text_col)))
     base = df.select("doc_id", toks.alias("_toks"))
     t = F.col("_toks")

@@ -35,6 +35,22 @@ def normalized_text(col):
     return F.lower(F.regexp_replace(F.trim(col), "\\s+", " "))
 
 
+def rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a scan whose source parallelism is below
+    the cluster's cores — ONLY then (the pipeline.py rebalance
+    precedent).  Compute-heavy scan-local ops (repetition signals and
+    friends: thousands of per-row array ops, trivial bytes) are
+    single-core-bound when the input is one unsplittable row group (the
+    test parquet's shape); a 100 TB corpus has thousands of splits, so
+    this is a no-op there — the check costs one listing-level
+    getNumPartitions, no job.  Result rows are unchanged (per-row ops
+    commute with repartitioning)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_tokens (whitespace), n_bpe_tokens (BPE-ish regex), n_punct,
     avg token length — all JVM-side."""
@@ -652,6 +668,10 @@ def repetition_signals(
     bit-identically (no rounding; see _sql_quality's discipline note).
     """
     all_ns = sorted(set(top_ns) | set(dup_ns))
+    # per-row compute dominates this op (thousands of array ops per doc):
+    # spread an under-parallel scan across the cores before computing
+    # (no-op whenever the source already has >= cores splits)
+    df = rebalance_for_compute(df.select(id_col, text_col))
     text = F.coalesce(F.col(text_col), F.lit(""))
     base = df.select(
         F.col(id_col),
