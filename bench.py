@@ -110,6 +110,9 @@ def main() -> None:
         "dedup_incremental_fuzzy",
         "dedup_bloom",
         "train_order_sharded",
+        "kmeans_assign",
+        "cluster_domain_report",
+        "tokenizer_fertility",
     ]
     for _ in range(repeats):
         for name in suite:
