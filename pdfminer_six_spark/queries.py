@@ -2689,6 +2689,63 @@ def q_embedding_pairs_blocked(spark, sf_dir):
     )
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC decontamination: flag training vectors whose embedding is
+    near-identical (cosine >= 0.4 under the 5-decimal rounding
+    discipline) to ANY benchmark/eval vector — the embedding-space
+    counterpart of the n-gram dedup_decontaminate family (catches
+    paraphrased leakage that distinct-n-gram overlap misses).  label==0
+    plays the eval set: eval benchmarks are small and broadcastable by
+    nature, so the plan is ONE broadcast of the eval relation + a
+    map-side-combinable per-id max (the semdedup assignment shape — no
+    corpus self-join, no shuffle beyond the per-id agg).  Emits one row
+    per corpus vector: (vec_id, max_eval_cos, nearest_eval with ties to
+    the smallest eval id, contaminated)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    corpus = emb.filter(F.col("label") != 0).select("vec_id", "embedding")
+    cos = F.round(ann.cosine_expr(F.col("embedding"), F.col("ev")), 5)
+    return (
+        corpus.crossJoin(F.broadcast(ev))
+        .withColumn("cos", cos)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos"), (-F.col("eval_id")).alias("neg"))
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.cos").alias("max_eval_cos"),
+            (-F.col("b.neg")).alias("nearest_eval"),
+            (F.col("b.cos") >= 0.4).alias("contaminated"),
+        )
+    )
+
+
+_SQL_DECON_SEMANTIC = """
+WITH ev AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE label = 0),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE label <> 0),
+s AS (
+  SELECT c.vec_id, ev.eval_id,
+         ROUND(list_cosine_similarity(c.v, ev.ev), 5) AS cos
+  FROM c CROSS JOIN ev)
+SELECT vec_id, cos AS max_eval_cos, eval_id AS nearest_eval,
+       cos >= 0.4 AS contaminated
+FROM (SELECT vec_id, cos, eval_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, eval_id ASC) AS rn
+      FROM s) t
+WHERE rn = 1
+"""
+
+
 _SQL_EMB_PAIRS = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -4499,6 +4556,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "media_pipeline": (q_media_pipeline, None),
     "pdfcorpus_scan": (q_pdfcorpus_scan, None),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
+    "decontaminate_semantic": (q_decontaminate_semantic, _SQL_DECON_SEMANTIC),
     "kmeans_assign": (
         q_kmeans_assign,
         _kmeans_sql(8, 4, 10**4, _SQL_KMEANS_ASSIGN_FINAL),

@@ -276,6 +276,9 @@ BNLJ_ALLOWED = {
     # per-source totals (one row per source — 20 in the testdata mix)
     # plus the 1-row (T, V) scalar broadcast
     "source_kl": 32,
+    # corpus × the label==0 eval-embedding set (56 rows at sf0.001):
+    # eval benchmarks are small-and-broadcastable by nature
+    "decontaminate_semantic": 56,
 }
 
 
