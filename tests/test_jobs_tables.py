@@ -533,3 +533,104 @@ def test_dedup_job_incremental_two_batches(spark, tmp_path):
     assert surv2 == {11}
     # index accumulates: 3 batch-1 fps + delta's fp
     assert spark.read.parquet(str(idx2)).count() == 4
+
+
+def _load_job(name):
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        f"jobs_{name}",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "jobs", f"{name}.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    return job
+
+
+def test_index_job_artifacts_consumable_and_resume(spark, tmp_path):
+    """jobs/index.py materializes every index/model artifact; each one
+    must be CONSUMABLE — feeding it through the op that reads it equals
+    the inline computation — and the failure-injection resume must skip
+    committed stages."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    job = _load_job("index")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = tmp_path / "docs_in"
+    docs.select("doc_id", "text").write.parquet(str(inp))
+    wd = tmp_path / "idx"
+
+    stats = job.run(spark, job.build_args([
+        "--input", str(inp), "--workdir", str(wd),
+        "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+    ]))
+    assert all(stats[s]["action"] == "computed" for s in job.STAGES)
+
+    from pdfminer_six_spark.ops.ann import kmeans_fixed_point
+    from pdfminer_six_spark.ops.dedup import (
+        incremental_exact,
+        incremental_minhash,
+        minhash_signatures,
+    )
+    from pdfminer_six_spark.ops.retrieval import ngram_lm_scores
+
+    # artifact 1: fingerprint index drives incremental exact dedup
+    batch = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    via_idx = incremental_exact(
+        batch, spark.read.parquet(str(wd / "01_fingerprints"))
+    )
+    assert via_idx.count() == 0  # every batch doc is a known fingerprint
+
+    # artifact 2: minhash signature index drives incremental fuzzy dedup
+    sig_idx = spark.read.parquet(str(wd / "02_minhash"))
+    inline_sig = minhash_signatures(docs)
+    got = {
+        (r["doc_id"], tuple(r["sig"])) for r in sig_idx.collect()
+    }
+    want = {
+        (r["doc_id"], tuple(r["sig"])) for r in inline_sig.collect()
+    }
+    assert got == want
+    hits = incremental_minhash(
+        docs.filter(F.col("doc_id") < 50), sig_idx, threshold=0.99
+    )
+    assert hits.filter(F.col("doc_id") == F.col("hist_id")).count() == \
+        docs.filter(F.col("doc_id") < 50).count()  # self-match at 0.99
+
+    # artifact 3: LM model table scores identically to the inline path
+    model = spark.read.parquet(str(wd / "04_lm"))
+    via_model = ngram_lm_scores(docs, model=model, persist_model=False)
+    inline = ngram_lm_scores(docs, persist_model=False)
+    assert via_model.exceptAll(inline).count() == 0
+    assert inline.exceptAll(via_model).count() == 0
+
+    # artifact 4: k-means assignment equals a fresh fixed-point run
+    km_idx = {
+        (r["vec_id"], r["cell"], r["dist_sq"])
+        for r in spark.read.parquet(str(wd / "07_kmeans")).collect()
+    }
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    km_fresh = {
+        (r["vec_id"], r["cell"], r["dist_sq"])
+        for r in kmeans_fixed_point(emb, k=8, n_iters=4).collect()
+    }
+    assert km_idx == km_fresh
+
+    # failure-injection resume: crash after stage 3, resume skips 1-3
+    wd2 = tmp_path / "idx2"
+    argv = ["--input", str(inp), "--workdir", str(wd2),
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet"]
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run(spark, job.build_args(argv + ["--fail-after", "bands"]))
+    committed = {p: os.path.getmtime(os.path.join(wd2, p, "_SUCCESS"))
+                 for p in ("01_fingerprints", "02_minhash", "03_bands")}
+    stats2 = job.run(spark, job.build_args(argv + ["--resume"]))
+    assert [stats2[s]["action"] for s in job.STAGES] == (
+        ["skipped"] * 3 + ["computed"] * 4
+    )
+    for p, mtime in committed.items():
+        assert os.path.getmtime(os.path.join(wd2, p, "_SUCCESS")) == mtime
