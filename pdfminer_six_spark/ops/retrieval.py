@@ -181,6 +181,162 @@ def ngram_lm_scores(
     )
 
 
+def _trigrams(toks):
+    """Adjacent word triples, JVM-side — the zip_with-of-shifted-slices
+    construction (_bigrams' measured O(tokens^2) lesson), nested once
+    because zip_with is binary."""
+    m = F.greatest(F.size(toks) - 2, F.lit(0))
+    bc = F.zip_with(
+        F.slice(toks, 2, m),
+        F.slice(toks, 3, m),
+        lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+    )
+    return F.zip_with(
+        F.slice(toks, 1, m),
+        bc,
+        lambda a, p: F.struct(
+            a.alias("w1"), p["w2"].alias("w2"), p["w3"].alias("w3")
+        ),
+    )
+
+
+def trigram_lm_model(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 10,
+    train_keep: int = 8,
+) -> DataFrame:
+    """Trigram count table ``(w1, w2, w3, c3)`` over the deterministic
+    ``pmod(id, train_mod) < train_keep`` slice — the ONLY artifact the
+    stupid-backoff scorer needs: every lower-order count it backs off to
+    (bigram, unigram, totals, vocabulary) is a marginal SUM of this one
+    relation, so the model stays a single parquet table exactly like
+    :func:`bigram_lm_model`."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    train = df.filter(
+        F.pmod(F.col(id_col), F.lit(train_mod)) < train_keep
+    ).select(_trigrams(toks).alias("tg"))
+    tr = train.select(F.explode("tg").alias("t")).select(
+        "t.w1", "t.w2", "t.w3"
+    )
+    return tr.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+
+
+def trigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 10,
+    train_keep: int = 8,
+    alpha: float = 0.4,
+    persist_model: bool = True,
+    model: DataFrame | None = None,
+    model_handle: list | None = None,
+) -> DataFrame:
+    """Trigram LM scoring with STUPID BACKOFF (Brants et al. 2007 §4 —
+    the web-scale scheme: no discounting to normalize, a fixed backoff
+    penalty ``alpha``), one order up from :func:`ngram_lm_scores` toward
+    the 5-gram KenLM CCNet actually runs:
+
+        score(w3 | w1 w2) = c3/c2p                   if the trigram is in
+                                                     the model (c2p = the
+                                                     prefix marginal)
+                          = a * c2l/c1m              else if (w2,w3) seen
+                          = a^2 * (c1l(w3)+1)/(T+V)  else (add-one floor,
+                                                     so unseen words score
+                                                     finitely)
+
+    Every count is a marginal of the single c3 table (c2l misses the
+    first bigram of each train doc — a self-consistent, documented
+    approximation that keeps the model ONE relation).  All log-prob
+    arithmetic is spelled ``ln(count) - ln(denom)`` in BOTH engines (a
+    quotient-then-log disagrees in the last ulp), counts are exact ints,
+    and the per-doc mean rounds to 6 decimals — the ngram_lm_scores
+    float discipline.
+
+    Scale shape: the three backoff levels join the corpus POSITION
+    relation largest-key-first, each level only touching the previous
+    level's misses via coalesce on left joins; all enrichment
+    (marginals, log-probs) happens on the MODEL-sized table before any
+    corpus join.  The model persists under the same lifetime contract as
+    ngram_lm_scores (pass ``model_handle`` to unpersist after your
+    action; pass ``model=`` a read-back parquet for train-once /
+    score-many)."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    base = df.select(F.col(id_col), _trigrams(toks).alias("tg"))
+    c3 = (
+        model
+        if model is not None
+        else trigram_lm_model(df, text_col, id_col, train_mod, train_keep)
+    )
+    if persist_model and model is None:
+        c3 = c3.persist()
+        if model_handle is not None:
+            model_handle.append(c3)
+
+    ln = F.log
+    la = F.log(F.lit(float(alpha)))
+    c2p = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("c2p"))
+    p3 = c3.join(c2p, ["w1", "w2"]).select(
+        "w1", "w2", "w3",
+        (ln(F.col("c3").cast("double")) - ln(F.col("c2p").cast("double"))
+         ).alias("logp3"),
+    )
+    c2l = c3.groupBy("w2", "w3").agg(F.sum("c3").alias("c2l"))
+    c1m = c3.groupBy("w2").agg(F.sum("c3").alias("c1m"))
+    p2 = c2l.join(c1m, ["w2"]).select(
+        "w2", "w3",
+        (la + ln(F.col("c2l").cast("double"))
+         - ln(F.col("c1m").cast("double"))).alias("logp2"),
+    )
+    c1l = c3.groupBy("w3").agg(F.sum("c3").alias("c1l"))
+    tv = c3.agg(
+        F.sum("c3").alias("t_total"),
+        F.count_distinct("w3").alias("v"),
+    )
+    p1 = c1l.crossJoin(F.broadcast(tv)).select(
+        "w3",
+        (la + la + ln(F.col("c1l").cast("double") + 1.0)
+         - ln(F.col("t_total").cast("double") + F.col("v").cast("double"))
+         ).alias("logp1"),
+    )
+
+    pos = base.select(id_col, F.explode("tg").alias("t")).select(
+        id_col, "t.w1", "t.w2", "t.w3"
+    )
+    scored = (
+        pos.join(p3, ["w1", "w2", "w3"], "left")
+        .join(p2, ["w2", "w3"], "left")
+        .join(p1, ["w3"], "left")
+        .crossJoin(F.broadcast(tv))
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("logp3"),
+                F.col("logp2"),
+                F.col("logp1"),
+                # w3 never seen at all: the add-one floor with c1l = 0
+                la + la + ln(F.lit(1.0))
+                - ln(
+                    F.col("t_total").cast("double")
+                    + F.col("v").cast("double")
+                ),
+            ).alias("logp"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (-F.sum("logp") / F.count(F.lit(1))).alias("_nll"),
+    )
+    return agg.select(
+        id_col,
+        "n_trigrams",
+        F.round(F.col("_nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.col("_nll")), 6).alias("ppl"),
+    )
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,

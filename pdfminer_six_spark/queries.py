@@ -3476,6 +3476,69 @@ FROM agg
 """
 
 
+def q_trigram_lm_score(spark, sf_dir):
+    """Trigram LM with stupid backoff (ops.retrieval.trigram_lm_scores —
+    Brants et al. 2007 §4): one order up from the bigram scorer toward
+    CCNet's 5-gram KenLM.  The whole backoff ladder (trigram MLE ->
+    a*bigram -> a^2*add-one unigram floor) derives from ONE trigram
+    count relation; all log-probs are spelled ln(count)-ln(denom) in
+    both engines and the per-doc mean rounds to 6 — the ngram_lm_score
+    float discipline."""
+    from pdfminer_six_spark.ops import retrieval
+
+    return retrieval.trigram_lm_scores(
+        _t(spark, sf_dir, "documents"), persist_model=False
+    )
+
+
+_SQL_TRIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, UNNEST(range(1, len(t) - 1)) AS i FROM toks),
+tri AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM idx),
+tr AS (SELECT * FROM tri WHERE doc_id % 10 < 8),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+c2p AS (SELECT w1, w2, SUM(c3) AS c2p FROM c3 GROUP BY 1, 2),
+p3 AS (SELECT c3.w1, c3.w2, c3.w3,
+              ln(CAST(c3.c3 AS DOUBLE)) - ln(CAST(c2p.c2p AS DOUBLE))
+                AS logp3
+       FROM c3 JOIN c2p USING (w1, w2)),
+c2l AS (SELECT w2, w3, SUM(c3) AS c2l FROM c3 GROUP BY 1, 2),
+c1m AS (SELECT w2, SUM(c3) AS c1m FROM c3 GROUP BY 1),
+p2 AS (SELECT c2l.w2, c2l.w3,
+              ln(0.4) + ln(CAST(c2l.c2l AS DOUBLE))
+                - ln(CAST(c1m.c1m AS DOUBLE)) AS logp2
+       FROM c2l JOIN c1m USING (w2)),
+c1l AS (SELECT w3, SUM(c3) AS c1l FROM c3 GROUP BY 1),
+tv AS (SELECT CAST(SUM(c3) AS DOUBLE) AS t_total,
+              CAST(COUNT(DISTINCT w3) AS DOUBLE) AS v FROM c3),
+p1 AS (SELECT w3,
+              ln(0.4) + ln(0.4) + ln(CAST(c1l AS DOUBLE) + 1.0)
+                - ln(t_total + v) AS logp1
+       FROM c1l CROSS JOIN tv),
+sc AS (
+  SELECT p.doc_id,
+         COALESCE(p3.logp3, p2.logp2, p1.logp1,
+                  ln(0.4) + ln(0.4) + ln(1.0) - ln(tv.t_total + tv.v))
+           AS logp
+  FROM tri p
+  LEFT JOIN p3 ON p.w1 = p3.w1 AND p.w2 = p3.w2 AND p.w3 = p3.w3
+  LEFT JOIN p2 ON p.w2 = p2.w2 AND p.w3 = p2.w3
+  LEFT JOIN p1 ON p.w3 = p1.w3
+  CROSS JOIN tv),
+agg AS (SELECT doc_id, COUNT(*) AS n_trigrams,
+               -SUM(logp) / COUNT(*) AS nll
+        FROM sc GROUP BY 1)
+SELECT doc_id, n_trigrams,
+       ROUND(nll, 6) AS avg_nll, ROUND(EXP(nll), 6) AS ppl
+FROM agg
+"""
+
+
 def q_ccnet_buckets(spark, sf_dir):
     """CCNet perplexity buckets (ops.retrieval.ccnet_buckets): head /
     middle / tail terciles of bigram-LM perplexity within each predicted
@@ -4557,6 +4620,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "pdfcorpus_scan": (q_pdfcorpus_scan, None),
     "semdedup_kmeans": (q_semdedup_kmeans, None),
     "decontaminate_semantic": (q_decontaminate_semantic, _SQL_DECON_SEMANTIC),
+    "trigram_lm_score": (q_trigram_lm_score, _SQL_TRIGRAM_LM),
     "kmeans_assign": (
         q_kmeans_assign,
         _kmeans_sql(8, 4, 10**4, _SQL_KMEANS_ASSIGN_FINAL),

@@ -3134,3 +3134,50 @@ def test_conversation_sessions_tws_equals_legacy_stateful(spark, tmp_path):
     got_legacy = run(conversation_sessions, "legacy_sessions")
     assert got_tws == got_legacy
     assert {c for c, *_ in got_tws} == {"convA", "convC"}
+
+
+def test_trigram_lm_model_roundtrip_and_backoff_floor(spark, tmp_path):
+    """trigram_lm_scores: (a) train-once/score-many — scoring against the
+    parquet-round-tripped c3 model equals the inline path; (b) a doc of
+    entirely unseen words hits the add-one unigram floor at every
+    position: avg_nll == 2*ln(1/0.4... spelled exactly as the op does."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.ops.retrieval import (
+        trigram_lm_model,
+        trigram_lm_scores,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+
+    mp = str(tmp_path / "c3")
+    trigram_lm_model(docs).write.parquet(mp)
+    via_model = trigram_lm_scores(
+        docs, model=spark.read.parquet(mp), persist_model=False
+    )
+    inline = trigram_lm_scores(docs, persist_model=False)
+    assert via_model.exceptAll(inline).count() == 0
+    assert inline.exceptAll(via_model).count() == 0
+
+    # floor: append one doc of never-seen tokens; every trigram position
+    # takes the default coalesce branch
+    unseen = spark.createDataFrame(
+        [(999999, "zzqx1 zzqx2 zzqx3 zzqx4")], "doc_id long, text string"
+    )
+    scored = trigram_lm_scores(
+        docs.unionByName(unseen), persist_model=False
+    )
+    row = scored.filter(F.col("doc_id") == 999999).collect()[0]
+    c3 = trigram_lm_model(docs)
+    t_total = c3.agg(F.sum("c3")).collect()[0][0]
+    v = c3.select("w3").distinct().count()
+    floor = -(
+        math.log(0.4) + math.log(0.4) + math.log(1.0)
+        - math.log(float(t_total) + float(v))
+    )
+    assert row["n_trigrams"] == 2
+    assert abs(row["avg_nll"] - round(floor, 6)) < 2e-6
