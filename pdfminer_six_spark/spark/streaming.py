@@ -394,3 +394,62 @@ def streaming_incremental_dedup(
     return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["fp"]
     )
+
+
+def streaming_index_maintenance(
+    spark: SparkSession,
+    batch_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+    text_col: str = "text",
+):
+    """CONTINUOUS fingerprint-index maintenance — the composition that
+    closes the incremental-dedup loop: each micro-batch dedups the
+    incoming delta against the persisted index
+    (:func:`streaming_incremental_dedup`) and appends the survivors'
+    ``(doc_id, fp)`` rows back onto that same index, exactly-once.
+
+    Index layout: one ``batch_id=N`` parquet partition per micro-batch
+    under ``index_dir`` (plus an empty ``batch_id=-1`` bootstrap so the
+    static read binds before any batch commits).  The foreachBatch write
+    is mode("overwrite") on its own partition — Structured Streaming may
+    REPLAY the last batch after a crash with the same batch_id, and the
+    replay then overwrites its own partial output instead of appending
+    duplicates (the streaming_idempotent_sink contract).  ONE checkpoint
+    per index: batch ids are monotonic per checkpoint, so pointing a
+    fresh checkpoint at an existing index would re-mint old partition
+    names — the same rule any batch-id-keyed sink has.
+
+    The static index side of the anti-join is re-resolved per
+    micro-batch (stream-static semantics), so partitions committed by
+    batch N are already visible to batch N+1's history check; within a
+    batch, in-stream duplicates fall to the watermark-bounded
+    dropDuplicatesWithinWatermark layer.
+
+    Scale: the index relation is (doc_id, fp) only — 48 bytes a row at
+    10^12 docs this is the one relation you'd keep as an Iceberg table
+    and MERGE INTO instead (same plan shape; the parquet-partition form
+    is the no-catalog equivalent)."""
+    import os
+
+    if not os.path.exists(os.path.join(index_dir, "batch_id=-1")):
+        spark.createDataFrame([], "doc_id long, fp string").write.mode(
+            "ignore"
+        ).parquet(os.path.join(index_dir, "batch_id=-1"))
+    seen = spark.read.schema("doc_id long, fp string").parquet(index_dir)
+    fresh = streaming_incremental_dedup(
+        batch_stream, seen, watermark=watermark, text_col=text_col
+    )
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        df.select("doc_id", "fp").write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"batch_id={batch_id}")
+        )
+
+    return (
+        fresh.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

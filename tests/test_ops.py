@@ -3181,3 +3181,99 @@ def test_trigram_lm_model_roundtrip_and_backoff_floor(spark, tmp_path):
     )
     assert row["n_trigrams"] == 2
     assert abs(row["avg_nll"] - round(floor, 6)) < 2e-6
+
+
+def test_streaming_index_maintenance_grows_index_exactly_once(
+    spark, tmp_path
+):
+    """streaming_index_maintenance: run 1 seeds the fingerprint index
+    from the stream's survivors; run 2 (same checkpoint, new files)
+    dedups against the grown index and appends only genuinely-new fps;
+    re-running with nothing new appends zero rows (exactly-once); the
+    final index equals the batch incremental_exact chain applied in file
+    order."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.ops.dedup import incremental_exact
+    from pdfminer_six_spark.spark.pipeline import TRANSCRIPTS_SCHEMA
+    from pdfminer_six_spark.spark.streaming import (
+        streaming_index_maintenance,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idx = str(tmp_path / "fpindex")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(str(src / name))
+
+    def stream_docs():
+        return (
+            spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .select(
+                F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+                "text",
+                "ts",
+            )
+        )
+
+    def run_once():
+        q = streaming_index_maintenance(
+            spark, stream_docs(), idx, ckpt, watermark="1 hour"
+        )
+        q.awaitTermination(180)
+
+    def index_fps():
+        return {
+            r["fp"]
+            for r in spark.read.schema("doc_id long, fp string")
+            .parquet(idx)
+            .collect()
+        }
+
+    # run 1: A, B, and an in-stream duplicate of A
+    write("f1.parquet", [
+        ("c1", 0, "user", "alpha text", "", t0),
+        ("c1", 1, "user", "beta text", "", t0),
+        ("c2", 0, "user", "alpha text", "", t0),
+    ])
+    run_once()
+    fps1 = index_fps()
+    assert len(fps1) == 2  # alpha + beta, in-stream dup collapsed
+
+    # run 2: a re-crawl of alpha plus one new doc
+    write("f2.parquet", [
+        ("c3", 0, "user", "alpha text", "", t0 + dt.timedelta(hours=3)),
+        ("c3", 1, "user", "gamma text", "", t0 + dt.timedelta(hours=3)),
+    ])
+    run_once()
+    fps2 = index_fps()
+    assert len(fps2) == 3 and fps1 < fps2
+
+    # run 3: nothing new -> exactly-once, zero growth
+    run_once()
+    assert index_fps() == fps2
+
+    # batch equivalence: replay the same deltas through incremental_exact
+    all_rows = spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(str(src))
+    docs = all_rows.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), "text"
+    )
+    seen = spark.createDataFrame([], "fp string")
+    batch_fps = {
+        r["fp"]
+        for r in incremental_exact(docs, seen).select("fp").collect()
+    }
+    assert batch_fps == fps2
