@@ -4610,7 +4610,10 @@ QUERIES: Dict[str, QuerySpec] = {
     #      bpe_pair_stats, source_kl, ngram_novelty, dedup_incremental,
     #      clean_funnel, token_budget, token_budget_bucketed,
     #      subword_encode, bpe_train, train_order(_sharded),
-    #      dedup_incremental_fuzzy, dedup_bloom
+    #      dedup_incremental_fuzzy, dedup_bloom, trigram_lm_score,
+    #      decontaminate_semantic, kmeans_assign, kmeans_report,
+    #      kmeans_balanced_select, cluster_domain_report,
+    #      tokenizer_fertility (+ rows-only pdfcorpus_scan)
     #   2. deterministic_split, group_sample, text_length_quantiles,
     #      salted_agg, text_rollfp_candidates — r04-green, rotated out r05
     #   3. string_agg_nations, recursive_date_spine, stats_agg,
