@@ -184,6 +184,98 @@ SELECT o_custkey, o_orderkey, rn, ROUND(o_totalprice, 2) AS total FROM (
 """
 
 
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the events stream (the classic
+    sequential-pattern relational op): per user, the earliest 'view',
+    then the earliest 'click' STRICTLY after it, then the earliest
+    'purchase' strictly after that; reported as per-step user counts and
+    conversion rates vs the first step.
+
+    Plan shape: ONE shuffle (the user_id collect_list agg); the ordered
+    step resolution is an in-row fold over the user's own event array
+    (array_min over filtered transforms — bounded by per-user activity,
+    the same contract sessionize_events' window carries).  The rates are
+    single int/int IEEE divisions — bit-identical cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
+    )
+
+    def _first_after(prev_col, step):
+        cond = (
+            (lambda e: (e["event_type"] == step) & (e["ts"] > prev_col))
+            if prev_col is not None
+            else (lambda e: e["event_type"] == step)
+        )
+        return F.array_min(
+            F.transform(
+                F.filter(F.col("evs"), cond), lambda e: e["ts"]
+            )
+        )
+
+    stepped = (
+        per_user.withColumn("t1", _first_after(None, "view"))
+        .withColumn("t2", _first_after(F.col("t1"), "click"))
+        .withColumn("t3", _first_after(F.col("t2"), "purchase"))
+    )
+    counts = stepped.agg(
+        F.count(F.col("t1")).alias("n1"),
+        F.count(F.col("t2")).alias("n2"),
+        F.count(F.col("t3")).alias("n3"),
+    )
+    steps = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i + 1}").alias("n_users"),
+            )
+            for i, s in enumerate(_FUNNEL_STEPS)
+        ]
+    )
+    return (
+        counts.select(F.explode(steps).alias("s"), "n1")
+        .select(
+            "s.step_idx",
+            "s.step",
+            "s.n_users",
+            (F.col("s.n_users").cast("double") / F.col("n1")).alias(
+                "rate_vs_first"
+            ),
+        )
+    )
+
+
+_SQL_EVENT_FUNNEL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN u USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > u.t1
+  GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY 1),
+n AS (SELECT (SELECT COUNT(t1) FROM u) AS n1,
+             (SELECT COUNT(*) FROM c) AS n2,
+             (SELECT COUNT(*) FROM p) AS n3)
+SELECT step_idx, step, n_users,
+       CAST(n_users AS DOUBLE) / n1 AS rate_vs_first
+FROM (
+  SELECT 1 AS step_idx, 'view' AS step, n1 AS n_users, n1 FROM n
+  UNION ALL SELECT 2, 'click', n2, n1 FROM n
+  UNION ALL SELECT 3, 'purchase', n3, n1 FROM n) s
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Sessionization — the exact operator shape of the engine's char->line
     grouping (L1/L2): lag -> gap flag -> running sum = segment id -> agg.
@@ -4624,6 +4716,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "semdedup_kmeans": (q_semdedup_kmeans, None),
     "decontaminate_semantic": (q_decontaminate_semantic, _SQL_DECON_SEMANTIC),
     "trigram_lm_score": (q_trigram_lm_score, _SQL_TRIGRAM_LM),
+    "event_funnel": (q_event_funnel, _SQL_EVENT_FUNNEL),
     "kmeans_assign": (
         q_kmeans_assign,
         _kmeans_sql(8, 4, 10**4, _SQL_KMEANS_ASSIGN_FINAL),
