@@ -438,6 +438,7 @@ def kmeans_fixed_point(
     scale: int = 10**4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids_out: list = None,
 ) -> DataFrame:
     """Lloyd's k-means with an INTEGER-EXACT fixed-point contract — the
     fully-oracled counterpart of the pyspark.ml quantizer ``ivf_topk`` /
@@ -540,6 +541,10 @@ def kmeans_fixed_point(
             if j in by_cell:
                 cents[j] = [by_cell[j][p] for p in range(len(cents[j]))]
 
+    if centroids_out is not None:
+        # the final centroid table is driver-side model state already —
+        # hand it to callers (PQ builds its ADC tables from it)
+        centroids_out.extend([list(c) for c in cents])
     return _assign(q).select(
         F.col("_kid").alias(id_col),
         F.col("_best.cell").alias("cell"),
@@ -578,4 +583,126 @@ def kmeans_balanced_select(
         assigned.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= per_cell)
         .select(id_col, "cell")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = 2,
+    k: int = 8,
+    n_iters: int = 2,
+    scale: int = 10**4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroids_out: list = None,
+) -> DataFrame:
+    """PRODUCT QUANTIZATION encode (Jégou et al. 2011): split the vector
+    into ``m`` contiguous subspaces, run the integer-exact fixed-point
+    k-means in each, and emit each vector's code word — ``(vec_id,
+    codes array<int>)``, m * log2(k) bits a vector where the raw
+    embedding was dim * 32.  Because every subspace quantizer is the
+    oracled :func:`kmeans_fixed_point`, the ENTIRE encode is
+    deterministic integer arithmetic — PQ with a DuckDB oracle and no
+    fixtures.
+
+    ``centroids_out``, when given, receives m lists of k centroid
+    vectors (quantized ints) — the codebook :func:`pq_topk` builds its
+    ADC tables from.
+
+    Scale: m sequential kmeans loops (each the documented one-scan-per-
+    iteration shape) over a d/m-wide projection; the final codes
+    assembly is m-1 joins on ``id_col`` — co-partitioned after the first
+    exchange, and each side is (id, small-int) only."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    out = None
+    for j in range(m):
+        sub = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * d + 1, d).alias("_sub"),
+        )
+        cents_j: list = []
+        a = kmeans_fixed_point(
+            sub, k=k, n_iters=n_iters, scale=scale,
+            id_col=id_col, vec_col="_sub", centroids_out=cents_j,
+        ).select(id_col, F.col("cell").alias(f"_c{j}"))
+        if centroids_out is not None:
+            centroids_out.append(cents_j)
+        out = a if out is None else out.join(a, id_col)
+    return out.select(
+        id_col,
+        F.array(*[F.col(f"_c{j}") for j in range(m)]).alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 3,
+    topk: int = 5,
+    m: int = 2,
+    k: int = 8,
+    n_iters: int = 2,
+    scale: int = 10**4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ ADC top-k (asymmetric distance computation): queries stay
+    exact, the corpus is its code words; distance(q, x) = sum_j
+    d2(q_j, codebook_j[x.codes_j]).  The per-query ADC tables are m*k
+    exact integers computed driver-side from the codebook (model state,
+    the kmeans pattern), so scoring one corpus row is m array lookups +
+    an add — no vector math touches the corpus at query time, THE
+    point of PQ at 10^9 rows.  Exact integer distances keep ranking
+    deterministic (ties to the smaller vec_id); the oracle replays the
+    whole thing — subspace kmeans chains, codes, ADC — in SQL."""
+    d = dim // m
+    codebook: list = []
+    codes = pq_encode(
+        embeddings, m=m, k=k, n_iters=n_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col, dim=dim, centroids_out=codebook,
+    )
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+    )
+    qrows = (
+        embeddings.select(F.col(id_col), qv.alias("_qv"))
+        .orderBy(id_col).limit(n_queries).collect()
+    )
+    # per (query, subspace): the k-entry exact ADC table
+    scored = None
+    for qr in qrows:
+        qvec = list(qr["_qv"])
+        tables = []
+        for j in range(m):
+            qs = qvec[j * d : (j + 1) * d]
+            tables.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(qs, c))
+                    for c in codebook[j]
+                ]
+            )
+        adist = None
+        for j in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(int(v)) for v in tables[j]]),
+                F.element_at(F.col("codes"), j + 1) + 1,
+            )
+            adist = term if adist is None else adist + term
+        one = codes.select(
+            F.lit(qr[id_col]).alias("query_id"),
+            F.col(id_col).alias("vec_id"),
+            adist.alias("adist"),
+        )
+        scored = one if scored is None else scored.unionByName(one)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "adist", "rank")
     )

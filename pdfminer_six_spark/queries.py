@@ -3309,22 +3309,40 @@ JOIN (
 """
 
 
-def _kmeans_sql(k: int, n_iters: int, scale: int, final: str) -> str:
-    """Unrolled-loop DuckDB oracle for ``kmeans_fixed_point`` (the
-    bpe_train pattern): layer i assigns every vector to its nearest
-    c{i} centroid by exact integer squared distance (ROW_NUMBER over
+def _kmeans_chain(
+    k: int,
+    n_iters: int,
+    scale: int,
+    prefix: str = "",
+    lo: int = None,
+    hi: int = None,
+) -> list:
+    """The unrolled Lloyd's CTE chain for ``kmeans_fixed_point`` (the
+    bpe_train pattern), as a LIST of CTE definitions so callers can
+    compose several chains in one query (product quantization runs one
+    per subspace): layer i assigns every vector to its nearest {p}c{i}
+    centroid by exact integer squared distance (ROW_NUMBER over
     (d, cell) — the same total order Spark's array_min(struct(d, cell))
-    uses), then c{i+1} takes the element-wise FLOOR(sum/count) mean,
-    with an emptied cell keeping its previous centroid via the LEFT
-    JOIN + COALESCE.  All layers MATERIALIZED — every c{i} is referenced
-    by both the next assignment and the next update, and DuckDB's
-    default CTE inlining would recompute the whole chain per reference
-    (the measured 51s -> 0.12s bpe_train lesson)."""
+    uses), then {p}c{i+1} takes the element-wise FLOOR(sum/count) mean,
+    an emptied cell keeping its previous centroid via LEFT JOIN +
+    COALESCE.  ``lo``/``hi`` quantize a 1-based-inclusive slice of the
+    embedding instead of the whole vector.  All layers MATERIALIZED —
+    every {p}c{i} is referenced twice and DuckDB's default CTE inlining
+    would recompute the whole chain per reference (the measured
+    51s -> 0.12s bpe_train lesson).  Final assignment lands in
+    ``{p}afin (vec_id, cell, dist_sq)``."""
+    p = prefix
+    vec = "embedding" if lo is None else f"embedding[{lo}:{hi}]"
     layers = [
         f"""
-c0 AS MATERIALIZED (
+{p}q AS MATERIALIZED (
+  SELECT vec_id, list_transform({vec},
+    x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS v
+  FROM embeddings)""",
+        f"""
+{p}c0 AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v
-  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT {k}) s)"""
+  FROM (SELECT vec_id, v FROM {p}q ORDER BY vec_id LIMIT {k}) s)""",
     ]
     dist = (
         "list_sum(list_transform(range(1, len(q.v) + 1), "
@@ -3333,37 +3351,140 @@ c0 AS MATERIALIZED (
     for i in range(n_iters):
         layers.append(
             f"""
-a{i} AS MATERIALIZED (
+{p}a{i} AS MATERIALIZED (
   SELECT vec_id, v, cell FROM (
     SELECT q.vec_id, q.v, c.cell,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY {dist}, c.cell) AS rn
-    FROM q, c{i} AS c) s
+    FROM {p}q AS q, {p}c{i} AS c) s
   WHERE rn = 1),
-c{i + 1} AS MATERIALIZED (
+{p}c{i + 1} AS MATERIALIZED (
   SELECT c.cell, COALESCE(n.v, c.v) AS v
-  FROM c{i} AS c LEFT JOIN (
+  FROM {p}c{i} AS c LEFT JOIN (
     SELECT cell, ARRAY_AGG(cv ORDER BY pos) AS v FROM (
       SELECT cell, pos,
              CAST(FLOOR(SUM(val)::DOUBLE / COUNT(*)) AS BIGINT) AS cv
       FROM (SELECT cell, UNNEST(v) AS val,
-                   generate_subscripts(v, 1) AS pos FROM a{i}) u
+                   generate_subscripts(v, 1) AS pos FROM {p}a{i}) u
       GROUP BY cell, pos) g
     GROUP BY cell) n ON n.cell = c.cell)"""
         )
-    return f"""
-WITH q AS MATERIALIZED (
-  SELECT vec_id, list_transform(embedding,
-    x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT)) AS v
-  FROM embeddings),{",".join(layers)},
-afin AS MATERIALIZED (
+    layers.append(
+        f"""
+{p}afin AS MATERIALIZED (
   SELECT vec_id, cell, CAST(d AS BIGINT) AS dist_sq FROM (
     SELECT q.vec_id, c.cell, {dist} AS d,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id
                               ORDER BY {dist}, c.cell) AS rn
-    FROM q, c{n_iters} AS c) s
-  WHERE rn = 1)
-{final}
+    FROM {p}q AS q, {p}c{n_iters} AS c) s
+  WHERE rn = 1)"""
+    )
+    return layers
+
+
+def _kmeans_sql(k: int, n_iters: int, scale: int, final: str) -> str:
+    """One whole-vector chain + the caller's final select over afin."""
+    return "WITH " + ",".join(_kmeans_chain(k, n_iters, scale)) + f"\n{final}\n"
+
+
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_DIM = 2, 8, 2, 64
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization ENCODE (ops.ann.pq_encode — Jégou et al.
+    2011): m=2 subspace fixed-point k-means quantizers compress each
+    vector to its code word.  Fully oracled with NO fixtures: the DuckDB
+    side runs one unrolled kmeans chain per subspace over the sliced
+    embedding.  Codes emitted as scalar columns (the driver
+    canonicalizer rejects array cells)."""
+    codes = ann.pq_encode(
+        _t(spark, sf_dir, "embeddings"),
+        m=_PQ_M, k=_PQ_K, n_iters=_PQ_ITERS, dim=_PQ_DIM,
+    )
+    return codes.select(
+        "vec_id",
+        *[
+            F.element_at("codes", j + 1).alias(f"code{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """PQ ADC top-k (ops.ann.pq_topk): the 3 smallest-id vectors query
+    the code-word corpus via per-query exact-integer ADC tables — m
+    array lookups + an add per corpus row, no vector math at query time.
+    Oracle recomputes subspace chains, codes, and the ADC sum in SQL."""
+    return ann.pq_topk(
+        _t(spark, sf_dir, "embeddings"),
+        n_queries=3, topk=5,
+        m=_PQ_M, k=_PQ_K, n_iters=_PQ_ITERS, dim=_PQ_DIM,
+    )
+
+
+def _pq_chains() -> str:
+    d = _PQ_DIM // _PQ_M
+    chains = []
+    for j in range(_PQ_M):
+        chains.extend(
+            _kmeans_chain(
+                _PQ_K, _PQ_ITERS, 10**4,
+                prefix=f"s{j}", lo=j * d + 1, hi=(j + 1) * d,
+            )
+        )
+    return ",".join(chains)
+
+
+def _pq_encode_sql() -> str:
+    cols = ", ".join(
+        f"s{j}afin.cell AS code{j}" for j in range(_PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN s{j}afin ON s{j}afin.vec_id = s0afin.vec_id"
+        for j in range(1, _PQ_M)
+    )
+    return f"""
+WITH {_pq_chains()}
+SELECT s0afin.vec_id, {cols}
+FROM s0afin {joins}
+"""
+
+
+def _pq_topk_sql() -> str:
+    qsub = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, v FROM s{j}q WHERE vec_id IN "
+        "(SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)"
+        for j in range(_PQ_M)
+    )
+    codesj = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, cell FROM s{j}afin"
+        for j in range(_PQ_M)
+    )
+    cent = "\n  UNION ALL ".join(
+        f"SELECT {j} AS j, cell, v FROM s{j}c{_PQ_ITERS}"
+        for j in range(_PQ_M)
+    )
+    return f"""
+WITH {_pq_chains()},
+qsub AS ({qsub}),
+codesj AS ({codesj}),
+cent AS ({cent}),
+terms AS (
+  SELECT qs.vec_id AS query_id, cd.vec_id, cd.j,
+         list_sum(list_transform(range(1, len(qs.v) + 1),
+           i -> (qs.v[i] - ct.v[i]) * (qs.v[i] - ct.v[i]))) AS d
+  FROM qsub qs
+  JOIN codesj cd ON cd.j = qs.j
+  JOIN cent ct ON ct.j = cd.j AND ct.cell = cd.cell),
+adist AS (
+  SELECT query_id, vec_id, CAST(SUM(d) AS BIGINT) AS adist
+  FROM terms GROUP BY 1, 2)
+SELECT query_id, vec_id, adist, rank FROM (
+  SELECT query_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adist, vec_id) AS rank
+  FROM adist) t
+WHERE rank <= 5
 """
 
 
@@ -4733,6 +4854,8 @@ QUERIES: Dict[str, QuerySpec] = {
         q_cluster_domain_report,
         _kmeans_sql(8, 4, 10**4, _SQL_CLUSTER_DOMAIN_FINAL),
     ),
+    "pq_encode": (q_pq_encode, _pq_encode_sql()),
+    "pq_topk": (q_pq_topk, _pq_topk_sql()),
     "deterministic_split": (q_deterministic_split, _SQL_DETERMINISTIC_SPLIT),
     "group_sample": (q_group_sample, _SQL_GROUP_SAMPLE),
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),

@@ -3277,3 +3277,42 @@ def test_streaming_index_maintenance_grows_index_exactly_once(
         for r in incremental_exact(docs, seen).select("fp").collect()
     }
     assert batch_fps == fps2
+
+
+def test_pq_encode_topk_invariants(spark):
+    """Product quantization: codes bounded by k; every query (itself in
+    the corpus) retrieves itself among the rank-ties of its own code
+    word (ADC distance to its own codeword is minimal); output is
+    deterministic across runs."""
+    from pdfminer_six_spark.ops.ann import pq_encode, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = []
+    codes = {
+        r["vec_id"]: tuple(r["codes"])
+        for r in pq_encode(emb, m=2, k=8, n_iters=2, centroids_out=cb).collect()
+    }
+    assert len(cb) == 2 and all(len(c) == 8 for c in cb)
+    assert all(
+        0 <= cj < 8 for code in codes.values() for cj in code
+    ) and len(codes) == emb.count()
+
+    top = pq_topk(emb, n_queries=3, topk=5, m=2, k=8, n_iters=2).collect()
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        # the query's own codeword achieves the minimum ADC distance, so
+        # rank-1's code equals the query's code
+        assert codes[rows[0]["vec_id"]] == codes[qid]
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+
+    again = sorted(
+        (r["query_id"], r["vec_id"], r["adist"], r["rank"])
+        for r in pq_topk(emb, n_queries=3, topk=5, m=2, k=8, n_iters=2).collect()
+    )
+    assert again == sorted(
+        (r["query_id"], r["vec_id"], r["adist"], r["rank"]) for r in top
+    )
