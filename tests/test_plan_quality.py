@@ -263,6 +263,9 @@ BNLJ_ALLOWED = {
     "semdedup_kmeans": 8,
     # 1-row vocab-size broadcast; model-count joins are equi-joins
     "ngram_lm_score": 1,
+    # same shape one order up: 1-row (T, V) broadcast onto the p1 table
+    # and the scored positions; the backoff-ladder joins are equi-joins
+    "trigram_lm_score": 1,
     # 1-row (n_docs, avgdl) stats broadcast; postings pruned by the
     # broadcast query-term equi-join first
     "bm25_search": 1,
