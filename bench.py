@@ -113,6 +113,7 @@ def main() -> None:
         "kmeans_assign",
         "cluster_domain_report",
         "tokenizer_fertility",
+        "hll_distinct_shingles",
     ]
     for _ in range(repeats):
         for name in suite:

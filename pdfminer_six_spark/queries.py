@@ -4736,6 +4736,170 @@ SELECT doc_id, score, n_tokens FROM w WHERE cum <= {_TOKEN_BUDGET}
 # representatives + 2 rotating).  tests/test_spark_pipeline.py::
 # test_registry_order_contract pins this ordering.
 #
+def q_distill_filter(spark, sf_dir):
+    """In-engine TRAINING of the compact quality filter
+    (ops.textstats.distill_linear_filter): a 65-parameter hashed linear
+    model distilled from the exact md5 token scorer (the
+    quality_classifier teacher) by 24 fixed-point heavy-ball
+    gradient-descent steps — every weight update is BIGINT + FLOOR
+    arithmetic, so the whole OPTIMIZER is oracled: the DuckDB side
+    replays the identical 24 updates as an unrolled CTE chain (the
+    kmeans/bpe_train pattern) and a drift in any intermediate weight
+    vector shows up as a hash mismatch on every downstream margin.
+    Reaches ~92% training accuracy vs the 66% majority baseline (the
+    exact least-squares ceiling on this target is 92%)."""
+    return textstats.distill_linear_filter(_t(spark, sf_dir, "documents"))
+
+
+def _distill_sql(
+    d: int = 64,
+    n_iters: int = 24,
+    k: int = 2**20,
+    bn: int = 29,
+    bd: int = 32,
+) -> str:
+    """Unrolled fixed-point gradient-descent CTE chain mirroring
+    distill_linear_filter: weights live as a (j, wj, wp) relation
+    (current + previous, for the heavy-ball term), layer i computes
+    every doc's margin under w{i}, the gradient aggregates
+    x[j]*(margin - y*k) per position, and w{i+1} applies
+    ``wj - FLOOR(g/L) + FLOOR(bn*(wj-wp)/bd)`` — the same FLOOR both
+    engines and the driver's exact Python ints evaluate identically
+    (bd a power of two makes the momentum division exact in double;
+    the g/L floor is covered by the kmeans FLOOR argument).  L is the
+    Gershgorin row-sum bound computed in lcap.  A parameterized
+    builder, MATERIALIZED per the bpe_train CTE-inlining lesson."""
+    dd = d + 1
+    layers = [
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN list_sum(list_transform(h32, h -> h - 2147483648)) > 0
+              THEN 1 ELSE -1 END AS y,
+         list_concat(
+           list_transform(range(0, {d}), i ->
+             CAST(len(list_filter(h32, h -> h % {d} = i)) AS BIGINT)),
+           [CAST(1 AS BIGINT)]) AS x
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             list_filter(regexp_split_to_array(
+               LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')),
+               '\\s+'), t -> t <> ''),
+             t -> CAST(CAST(('0x' || substr(md5(t), 1, 8)) AS UBIGINT)
+                       AS BIGINT)) AS h32
+    FROM documents)),
+fx AS MATERIALIZED (
+  SELECT doc_id, y, x, list_sum(x) AS s FROM feats),
+idx AS (SELECT UNNEST(range(1, {dd + 1})) AS j),
+lcap AS (
+  SELECT MAX(rs) AS l FROM (
+    SELECT i.j, SUM(f.x[i.j] * f.s) AS rs
+    FROM fx f CROSS JOIN idx i GROUP BY 1)),
+w0 AS (SELECT j, CAST(0 AS BIGINT) AS wj, CAST(0 AS BIGINT) AS wp
+       FROM idx)"""
+    ]
+    for i in range(n_iters):
+        layers.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT f.doc_id, f.y, SUM(w.wj * f.x[w.j]) AS margin
+  FROM fx f CROSS JOIN w{i} w GROUP BY f.doc_id, f.y),
+g{i} AS (
+  SELECT w.j, SUM(f.x[w.j] * (m.margin - f.y * {k})) AS g
+  FROM fx f JOIN m{i} m USING (doc_id) CROSS JOIN w{i} w
+  GROUP BY 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT w.j,
+         CAST(w.wj - FLOOR(CAST(g.g AS DOUBLE) / l.l)
+              + FLOOR({bn}.0 * (w.wj - w.wp) / {bd}) AS BIGINT) AS wj,
+         w.wj AS wp
+  FROM w{i} w JOIN g{i} g USING (j) CROSS JOIN lcap l)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(layers)
+        + f"""
+SELECT f.doc_id,
+       CAST(f.y AS BIGINT) AS label,
+       CAST(SUM(w.wj * f.x[w.j]) AS BIGINT) AS margin,
+       SUM(w.wj * f.x[w.j]) > 0 AS pred_pos,
+       (SUM(w.wj * f.x[w.j]) > 0) = (f.y = 1) AS correct
+FROM fx f CROSS JOIN w{n_iters} w
+GROUP BY f.doc_id, f.y"""
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """From-scratch HyperLogLog distinct-shingle cardinality
+    (ops.textstats.hll_distinct_shingles) for n = 1, 2, 3 — registers,
+    zero-count, and the scaled indicator sum are exact BIGINTs in both
+    engines (md5-derived 60-bit hash, comparison-counted leading zeros,
+    power-of-two contribution table), so the sketch itself is hash-level
+    oracled, not just its estimate."""
+    return textstats.hll_distinct_shingles(_t(spark, sf_dir, "documents"))
+
+
+def _hll_sql(ns: tuple = (1, 2, 3), p: int = 10) -> str:
+    """Mirror of hll_distinct_shingles: one UNION ALL branch per n, each
+    rebuilding the registers relation over the distinct-shingle set.
+    Parameterized builder; the float tail (alpha * m^2 * 2^R / S, the
+    linear-counting ln branch) is spelled as the same literal-times-
+    powers-of-two product Spark computes, so the only rounding either
+    engine performs is the shared IEEE division (+ the ln-equality
+    precedent of the LM scorers)."""
+    m = 1 << p
+    rank_bits = 60 - p
+    r_scale = rank_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << r_scale))
+    thresh = ", ".join(
+        str(1 << (rank_bits - j)) for j in range(1, rank_bits + 1)
+    )
+    branches = []
+    for n in ns:
+        branches.append(
+            f"""
+SELECT CAST({n} AS BIGINT) AS n, CAST({m} AS BIGINT) AS m_registers,
+       v_zeros, s_scaled, exact_distinct,
+       ROUND(est, 4) AS hll_estimate,
+       ROUND(est / exact_distinct - 1.0, 4) AS rel_err
+FROM (
+  SELECT v_zeros, s_scaled, exact_distinct,
+         CASE WHEN ({num} / CAST(s_scaled AS DOUBLE)) <= {2.5 * m}
+                   AND v_zeros > 0
+              THEN {float(m)} * ln({float(m)} / CAST(v_zeros AS DOUBLE))
+              ELSE {num} / CAST(s_scaled AS DOUBLE) END AS est
+  FROM (
+    SELECT CAST({m} - COUNT(*) AS BIGINT) AS v_zeros,
+           CAST(SUM(CAST(1 AS BIGINT) << ({r_scale} - r))
+                + ({m} - COUNT(*)) * {1 << r_scale} AS BIGINT) AS s_scaled,
+           CAST(SUM(nd) AS BIGINT) AS exact_distinct
+    FROM (
+      SELECT reg, MAX(rnk) AS r, COUNT(DISTINCT h) AS nd
+      FROM (
+        SELECT h, h & {m - 1} AS reg,
+               1 + len(list_filter([{thresh}], tt -> (h >> {p}) < tt))
+                 AS rnk
+        FROM (
+          SELECT CAST(CAST(('0x' || substr(md5(shingle), 1, 15))
+                           AS UBIGINT) AS BIGINT) AS h
+          FROM (
+            SELECT DISTINCT shingle FROM (
+              SELECT UNNEST(CASE WHEN len(t) >= {n}
+                     THEN [array_to_string(t[i+1:i+{n}], ' ')
+                           FOR i IN RANGE(0, len(t) - {n - 1})]
+                     ELSE [array_to_string(t, ' ')] END) AS shingle
+              FROM (
+                SELECT list_filter(regexp_split_to_array(
+                         LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ',
+                                              'g')), '\\s+'),
+                       x -> x <> '') AS t
+                FROM documents))
+            WHERE shingle <> '')))
+      GROUP BY reg)))"""
+        )
+    return " UNION ALL ".join(branches)
+
+
 # r05 ROTATION (executes VERDICT r04 "next round" item 1): the five
 # first-class corpus ops that had never had a driver row
 # (decontaminate_rate, blocklist_filter, c4_line_clean, ccnet_buckets,
@@ -4826,7 +4990,8 @@ QUERIES: Dict[str, QuerySpec] = {
     #      dedup_incremental_fuzzy, dedup_bloom, trigram_lm_score,
     #      decontaminate_semantic, kmeans_assign, kmeans_report,
     #      kmeans_balanced_select, cluster_domain_report,
-    #      tokenizer_fertility (+ rows-only pdfcorpus_scan)
+    #      tokenizer_fertility, distill_filter, hll_distinct_shingles
+    #      (+ rows-only pdfcorpus_scan)
     #   2. deterministic_split, group_sample, text_length_quantiles,
     #      salted_agg, text_rollfp_candidates — r04-green, rotated out r05
     #   3. string_agg_nations, recursive_date_spine, stats_agg,
@@ -4872,6 +5037,8 @@ QUERIES: Dict[str, QuerySpec] = {
     "token_budget_bucketed": (q_token_budget_bucketed, _SQL_TOKEN_BUDGET),
     "subword_encode": (q_subword_encode, _SQL_SUBWORD_ENCODE),
     "tokenizer_fertility": (q_tokenizer_fertility, _SQL_TOKENIZER_FERTILITY),
+    "distill_filter": (q_distill_filter, _distill_sql()),
+    "hll_distinct_shingles": (q_hll_distinct, _hll_sql()),
     "bpe_train": (q_bpe_train, _bpe_train_sql(10)),
     "train_order": (q_train_order, _SQL_TRAIN_ORDER),
     "train_order_sharded": (q_train_order_sharded, _SQL_TRAIN_ORDER),

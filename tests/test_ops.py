@@ -3316,3 +3316,71 @@ def test_pq_encode_topk_invariants(spark):
     assert again == sorted(
         (r["query_id"], r["vec_id"], r["adist"], r["rank"]) for r in top
     )
+
+
+def test_distill_linear_filter_learns_and_is_reproducible(spark):
+    """The 24-step fixed-point heavy-ball optimizer must (a) beat the
+    majority baseline by a wide margin (the exact least-squares ceiling
+    on this teacher is ~92%), (b) produce bit-identical weights across
+    runs (the integer-exact contract), (c) agree between its driver-side
+    margin arithmetic and the emitted BIGINT margins."""
+    from pdfminer_six_spark.ops.textstats import distill_linear_filter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w1, w2 = [], []
+    rows = distill_linear_filter(docs, weights_out=w1).collect()
+    distill_linear_filter(docs, weights_out=w2)
+    assert w1 == w2 and len(w1) == 65
+    assert all(isinstance(v, int) for v in w1)
+
+    n = len(rows)
+    acc = sum(1 for r in rows if r["correct"]) / n
+    majority = max(
+        sum(1 for r in rows if r["label"] == 1),
+        sum(1 for r in rows if r["label"] == -1),
+    ) / n
+    assert n == docs.count()
+    assert acc > majority + 0.2, (acc, majority)
+    assert acc > 0.85, acc
+    # pred/correct are pure functions of the emitted margin
+    for r in rows:
+        assert r["pred_pos"] == (r["margin"] > 0)
+        assert r["correct"] == (r["pred_pos"] == (r["label"] == 1))
+
+
+def test_hll_registers_merge_and_estimate_accuracy(spark, docs):
+    """(a) Mergeability law: per-source register sketches folded by
+    max(r) equal the whole-corpus registers — the property that lets a
+    sharded/streaming build compose.  (b) The estimate lands within
+    theoretical error (~3.3% rsd at p=10; generous 4-sigma bound) of
+    the exact distinct count the same relation carries."""
+    from pyspark.sql import functions as F
+
+    from pdfminer_six_spark.ops.textstats import (
+        hll_distinct_shingles,
+        hll_registers,
+    )
+
+    whole = {
+        (r["reg"], r["r"])
+        for r in hll_registers(docs, n=2).collect()
+    }
+    merged = {
+        (r["reg"], r["r"])
+        for r in hll_registers(docs, n=2, extra_group_cols=["source"])
+        .groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .collect()
+    }
+    assert merged == whole and whole
+
+    out = hll_distinct_shingles(docs).collect()
+    assert [r["n"] for r in out] == [1, 2, 3]
+    for r in out:
+        assert r["v_zeros"] >= 0 and r["s_scaled"] > 0
+        assert r["exact_distinct"] > 0
+        assert abs(r["rel_err"]) < 0.14, (r["n"], r["rel_err"])
+        assert (
+            abs(r["hll_estimate"] / r["exact_distinct"] - 1) - 1e-9
+            <= abs(r["rel_err"]) + 1e-4
+        )
