@@ -1461,3 +1461,117 @@ def subword_tokenize(
         ),
         "pieces",
     )
+
+def shannon_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy quality signals: character-level and
+    word-level entropy (bits) over the normalized text — the low-entropy
+    tail is machine-generated boilerplate / keyword stuffing / padding,
+    the very-high-entropy char tail is binary-ish garbage or encoded
+    blobs; both are standard web-corpus quality cuts alongside the
+    Gopher rules (:func:`gopher_quality_rules` covers the length/symbol
+    half, :func:`repetition_signals` the repetition half — this op adds
+    the distributional half).
+
+    Emits ``(doc_id, n_chars, char_entropy, n_words, word_entropy)``
+    with ``H = log2(n) - (sum_c c*log2(c)) / n`` over the within-row
+    frequency table (algebraically -sum p*log2(p)); empty docs emit 0.0
+    and zero counts.
+
+    Scale design: the whole op is ONE scan-local projection — zero
+    shuffles, zero joins.  The within-row frequency table is never
+    materialized: units (chars / tokens) map to xxhash64 longs,
+    ``array_sort`` groups equal units into runs, and one ``F.aggregate``
+    pass folds sum(c*log2 c) over the run lengths (the
+    repetition_signals run-length pattern, O(n log n) per row) — the
+    naive alternative explodes corpus_chars rows into a (doc, unit)
+    shuffle, which at 100 TB is the whole job.  A 64-bit hash collision
+    merges two units' counts (~n^2/2^65 per row, the duplicate_spans
+    precedent).  The fold accumulates in ascending-hash order — a
+    deterministic order, but a DIFFERENT one than an oracle's GROUP BY
+    would use, so the order-dependent float sum rounds to 6 decimals
+    (the ngram_lm / source_kl discipline).
+    """
+    df = rebalance_for_compute(df.select(id_col, text_col))
+    text = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col), text.alias("_norm")).select(
+        id_col, "_norm", tokens_col(F.col("_norm")).alias("_toks")
+    )
+
+    def _entropy(units):
+        """sum(c*log2 c) + n via one sorted run-length fold; returns
+        struct(n long, h double) with h the entropy in bits."""
+        runs = F.array_sort(F.transform(units, lambda u: F.xxhash64(u)))
+        zero = F.struct(
+            F.lit(0).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+            F.lit(0).cast("long").alias("n"),
+        )
+
+        def closed(acc):
+            return F.when(
+                acc["run"] > 0,
+                acc["run"].cast("double")
+                * F.log2(acc["run"].cast("double")),
+            ).otherwise(F.lit(0.0))
+
+        def step(acc, x):
+            same = (acc["run"] > 0) & (x == acc["prev"])
+            return F.when(
+                same,
+                F.struct(
+                    acc["prev"].alias("prev"),
+                    (acc["run"] + 1).alias("run"),
+                    acc["acc"].alias("acc"),
+                    (acc["n"] + 1).alias("n"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("run"),
+                    (acc["acc"] + closed(acc)).alias("acc"),
+                    (acc["n"] + 1).alias("n"),
+                )
+            )
+
+        def finish(acc):
+            total = acc["acc"] + closed(acc)
+            n = acc["n"]
+            return F.struct(
+                n.alias("n"),
+                F.when(
+                    n > 0,
+                    F.log2(n.cast("double")) - total / n.cast("double"),
+                ).otherwise(F.lit(0.0)).alias("h"),
+            )
+
+        return F.aggregate(runs, zero, step, finish)
+
+    out = base.select(
+        id_col,
+        _entropy(
+            F.when(
+                F.length("_norm") > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_norm")),
+                    lambda i: F.substring(F.col("_norm"), i, F.lit(1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_ce"),
+        _entropy(F.col("_toks")).alias("_we"),
+    )
+    return out.select(
+        id_col,
+        F.col("_ce.n").alias("n_chars"),
+        F.round(F.greatest(F.col("_ce.h"), F.lit(0.0)), 6).alias(
+            "char_entropy"
+        ),
+        F.col("_we.n").alias("n_words"),
+        F.round(F.greatest(F.col("_we.h"), F.lit(0.0)), 6).alias(
+            "word_entropy"
+        ),
+    )

@@ -4900,6 +4900,53 @@ FROM (
     return " UNION ALL ".join(branches)
 
 
+def q_text_entropy(spark, sf_dir):
+    """Per-document Shannon entropy signals
+    (ops.textstats.shannon_entropy): char- and word-level entropy in
+    bits over the normalized text — the distributional third of the
+    quality-filter triad (gopher rules = length/symbol,
+    repetition_signals = repetition).  Zero-shuffle row-local sorted
+    run-length fold on the Spark side; the oracle recomputes the
+    frequency tables by unnest+GROUP BY, so the order-dependent float
+    sum rounds to 6 (the ngram_lm discipline) and both sides clamp
+    tiny negative FP residue with GREATEST(h, 0)."""
+    return textstats.shannon_entropy(_t(spark, sf_dir, "documents"))
+
+
+_SQL_TEXT_ENTROPY = """
+WITH norm AS (
+  SELECT doc_id,
+         LOWER(REGEXP_REPLACE(TRIM(COALESCE(text, '')), '\\s+', ' ', 'g'))
+           AS s
+  FROM documents),
+cc AS (
+  SELECT doc_id, u, COUNT(*) AS c FROM (
+    SELECT doc_id, UNNEST([substr(s, CAST(i AS INT), 1)
+                           FOR i IN range(1, LENGTH(s) + 1)]) AS u
+    FROM norm) GROUP BY 1, 2),
+ce AS (SELECT doc_id, SUM(c) AS n,
+              log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS h
+       FROM cc GROUP BY 1),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           UNNEST(list_filter(regexp_split_to_array(s, '\\s+'),
+                              x -> x <> '')) AS w
+    FROM norm) GROUP BY 1, 2),
+we AS (SELECT doc_id, SUM(c) AS n,
+              log2(SUM(c)) - SUM(c * log2(c)) / SUM(c) AS h
+       FROM wc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(ce.n, 0) AS BIGINT) AS n_chars,
+       ROUND(GREATEST(COALESCE(ce.h, 0.0), 0.0), 6) AS char_entropy,
+       CAST(COALESCE(we.n, 0) AS BIGINT) AS n_words,
+       ROUND(GREATEST(COALESCE(we.h, 0.0), 0.0), 6) AS word_entropy
+FROM documents d
+LEFT JOIN ce ON d.doc_id = ce.doc_id
+LEFT JOIN we ON d.doc_id = we.doc_id
+"""
+
+
 # r05 ROTATION (executes VERDICT r04 "next round" item 1): the five
 # first-class corpus ops that had never had a driver row
 # (decontaminate_rate, blocklist_filter, c4_line_clean, ccnet_buckets,
@@ -5026,6 +5073,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "salted_agg": (q_salted_agg, _SQL_SALTED_AGG),
     "text_rollfp_candidates": (q_rollfp_candidates, _SQL_ROLLFP_CANDIDATES),
     "text_repetition": (q_text_repetition, _sql_repetition()),
+    "text_entropy": (q_text_entropy, _SQL_TEXT_ENTROPY),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR),
     "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     "bpe_pair_stats": (q_bpe_pair_stats, _SQL_BPE_PAIRS),

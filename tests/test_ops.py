@@ -3384,3 +3384,36 @@ def test_hll_registers_merge_and_estimate_accuracy(spark, docs):
             abs(r["hll_estimate"] / r["exact_distinct"] - 1) - 1e-9
             <= abs(r["rel_err"]) + 1e-4
         )
+
+
+def test_shannon_entropy_hand_computed(spark):
+    """char/word entropies equal the by-hand frequency-table values
+    (bits, round-6); empty/null docs emit zero counts and 0.0."""
+    import math
+
+    from pdfminer_six_spark.ops.textstats import shannon_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, ""), (3, None), (4, "abc"), (5, "x X  x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in shannon_entropy(df).collect()}
+
+    def h(counts):
+        n = sum(counts)
+        return round(
+            math.log2(n) - sum(c * math.log2(c) for c in counts) / n, 6
+        )
+
+    # doc 1 norm "aa bb aa": chars a:4 b:2 space:2; words aa:2 bb:1
+    assert (got[1]["n_chars"], got[1]["char_entropy"]) == (8, h([4, 2, 2]))
+    assert (got[1]["n_words"], got[1]["word_entropy"]) == (3, h([2, 1]))
+    # empty and NULL text: zero counts, zero entropy
+    for d in (2, 3):
+        assert tuple(got[d])[1:] == (0, 0.0, 0, 0.0)
+    # doc 4 "abc": 3 distinct chars -> log2(3); 1 word -> 0.0
+    assert (got[4]["n_chars"], got[4]["char_entropy"]) == (3, h([1, 1, 1]))
+    assert got[4]["word_entropy"] == 0.0
+    # doc 5 norm "x x x": chars x:3 space:2; words x:3 (entropy 0)
+    assert (got[5]["n_chars"], got[5]["char_entropy"]) == (5, h([3, 2]))
+    assert (got[5]["n_words"], got[5]["word_entropy"]) == (3, 0.0)
