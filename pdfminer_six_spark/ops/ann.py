@@ -706,3 +706,91 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", "adist", "rank")
     )
+
+
+def hash_embed(
+    df: DataFrame,
+    dims: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-free text embedding via the signed hashing trick (Weinberger
+    et al., ICML 2009): every token of the normalized text maps to a
+    bucket ``md5_32(tok) % dims`` with sign ``+-1`` from an independent
+    md5 hex digit; the document vector is the per-bucket signed-count
+    histogram, L2-normalized.  This is the bridge from the ``documents``
+    table to every embedding operator in this module (semdedup,
+    near-dup pairs, brute/LSH/IVF top-k, PQ) when no learned embedding
+    column exists — hashed bag-of-words cosine is the classic cheap
+    near-dup / similarity signal.
+
+    Emits ``(doc_id, n_tokens, vec, emb)``: ``vec`` the raw signed
+    counts (exact integers — cross-engine bitwise stable), ``emb`` the
+    L2-normalized double vector (all-zero when the document is empty or
+    its signs fully cancel — filter ``n_tokens > 0`` / non-zero vectors
+    before feeding cosine ops, whose 0-norm division throws under ANSI
+    mode).  md5 rather than xxhash64 because the
+    oracle must reproduce the values exactly (the deterministic_split /
+    rollfp precedent: ``conv(substr(md5,1,8),16,10)`` == DuckDB
+    ``CAST('0x'||substr(md5,1,8) AS UBIGINT)``).
+
+    Scale design: one scan-local projection — zero shuffles.  Tokens
+    project ONCE into a (bucket, sign) struct array (md5 evaluated once
+    per token); the histogram is a dims-wide transform folding that
+    array (O(dims*n) per row with dims small by construction).  The
+    output partitions exactly like its source, so a downstream
+    embedding op starts from scan-local vectors.
+    """
+    from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
+
+    toks = tokens_col(normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+                F.lit(dims),
+            ).cast("int").alias("b"),
+            F.when(
+                F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("int") % 2
+                == 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")).alias("s"),
+        ),
+    )
+    base = df.select(
+        F.col(id_col), pairs.alias("_pairs")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda b: F.aggregate(
+            F.col("_pairs"),
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+    )
+    withv = base.select(
+        id_col,
+        F.size("_pairs").cast("long").alias("n_tokens"),
+        vec.alias("vec"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("vec"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return withv.select(
+        id_col,
+        "n_tokens",
+        "vec",
+        F.transform(
+            F.col("vec"),
+            lambda v: F.when(
+                nrm > 0, v.cast("double") / nrm
+            ).otherwise(F.lit(0.0)),
+        ).alias("emb"),
+    )

@@ -4947,6 +4947,53 @@ LEFT JOIN we ON d.doc_id = we.doc_id
 """
 
 
+def q_hash_embed(spark, sf_dir):
+    """Model-free text embedding via the signed hashing trick
+    (ops.ann.hash_embed, Weinberger et al. 2009) — the bridge from the
+    documents table to the embedding-operator family when no learned
+    embedding column exists.  The query emits the raw signed-count
+    histogram in long format ``(doc_id, n_tokens, dim, v)``: exact
+    integers, bitwise stable cross-engine (the L2-normalized ``emb``
+    composes downstream; its components are v/sqrt(sum v^2), which can
+    land on a 7-decimal .5 tie when the norm is a power of two — the
+    driver-facing row therefore carries the integer relation, and the
+    normalization invariant is pytest-pinned instead)."""
+    from pdfminer_six_spark.ops.ann import hash_embed
+
+    return hash_embed(_t(spark, sf_dir, "documents"), dims=16).select(
+        "doc_id", "n_tokens", F.posexplode("vec").alias("dim", "v")
+    )
+
+
+_SQL_HASH_EMBED = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(COALESCE(text, '')), '\\s+', ' ',
+                                'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+tok AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) % 16 AS INT)
+           AS b,
+         CASE WHEN CAST(('0x' || substr(md5(w), 9, 1)) AS UBIGINT) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM tok),
+vb AS (SELECT doc_id, b, SUM(s) AS v FROM h GROUP BY 1, 2),
+dims AS (SELECT UNNEST(range(0, 16)) AS dim),
+nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT nt.doc_id,
+       CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+       CAST(dims.dim AS INT) AS dim,
+       CAST(COALESCE(vb.v, 0) AS BIGINT) AS v
+FROM nt
+CROSS JOIN dims
+LEFT JOIN vb ON vb.doc_id = nt.doc_id AND vb.b = dims.dim
+"""
+
+
 # r05 ROTATION (executes VERDICT r04 "next round" item 1): the five
 # first-class corpus ops that had never had a driver row
 # (decontaminate_rate, blocklist_filter, c4_line_clean, ccnet_buckets,
@@ -5074,6 +5121,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "text_rollfp_candidates": (q_rollfp_candidates, _SQL_ROLLFP_CANDIDATES),
     "text_repetition": (q_text_repetition, _sql_repetition()),
     "text_entropy": (q_text_entropy, _SQL_TEXT_ENTROPY),
+    "hash_embed": (q_hash_embed, _SQL_HASH_EMBED),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR),
     "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     "bpe_pair_stats": (q_bpe_pair_stats, _SQL_BPE_PAIRS),

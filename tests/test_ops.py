@@ -3417,3 +3417,53 @@ def test_shannon_entropy_hand_computed(spark):
     # doc 5 norm "x x x": chars x:3 space:2; words x:3 (entropy 0)
     assert (got[5]["n_chars"], got[5]["char_entropy"]) == (5, h([3, 2]))
     assert (got[5]["n_words"], got[5]["word_entropy"]) == (3, 0.0)
+
+
+def test_hash_embed_hand_computed_and_composes(spark):
+    """Buckets/signs equal a hashlib replica, emb is L2-normalized (the
+    .5-tie reason the driver row carries the integer vec instead), and
+    the output composes with the embedding near-dup kernel."""
+    import hashlib
+    import math
+
+    from pdfminer_six_spark.ops.ann import (
+        embedding_near_duplicates,
+        hash_embed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, None), (4, "A  a B"), (5, "zz yy")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in hash_embed(df, dims=16).collect()}
+
+    def expect(tokens, dims=16):
+        v = [0] * dims
+        for t in tokens:
+            h = hashlib.md5(t.encode()).hexdigest()
+            v[int(h[:8], 16) % dims] += 1 if int(h[8], 16) % 2 == 0 else -1
+        return v
+
+    assert got[1]["vec"] == expect(["a", "a", "b"])
+    # normalization: "a a b" has disjoint buckets -> counts 2 and 1
+    nrm = math.sqrt(5.0)
+    assert got[1]["emb"] == [x / nrm for x in got[1]["vec"]]
+    assert abs(sum(x * x for x in got[1]["emb"]) - 1.0) < 1e-12
+    # empty/null docs: zero tokens, all-zero vec AND emb (no NaN/div-0)
+    for d in (2, 3):
+        assert got[d]["n_tokens"] == 0
+        assert got[d]["vec"] == [0] * 16 and got[d]["emb"] == [0.0] * 16
+    # normalization is over the NORMALIZED text (case-folded, ws-collapsed)
+    assert got[4]["vec"] == expect(["a", "a", "b"])
+    # identical hashed vectors are cosine-1 near-dups via the standard kernel
+    from pyspark.sql import functions as F
+
+    emb = (
+        hash_embed(df, dims=16)
+        # zero vectors (empty docs) must be filtered before cosine ops:
+        # ANSI mode makes the 0-norm division throw (op docstring)
+        .filter(F.col("n_tokens") > 0)
+        .select(F.col("doc_id").alias("vec_id"), F.col("emb").alias("embedding"))
+    )
+    pairs = embedding_near_duplicates(emb, threshold=0.99).collect()
+    assert [(p["vec_a"], p["vec_b"]) for p in pairs] == [(1, 4)]
