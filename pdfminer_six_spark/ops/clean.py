@@ -209,6 +209,87 @@ def pack_sequences(
     )
 
 
+def pack_sequences_nosplit(
+    df: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Next-fit NO-SPLIT sequence packing — the other standard packing
+    mode (:func:`pack_sequences` lays documents end-to-end and lets them
+    straddle bin boundaries; here a document NEVER straddles): walk the
+    shard's documents in ascending id order, place each at the current
+    bin's write offset if it fits in the remaining capacity, otherwise
+    close the bin (leaving padding waste) and start a new one.  A
+    document longer than ``capacity`` gets a bin of its own, flagged
+    ``oversize`` (the consumer truncates or re-chunks those).  This is
+    the mode training stacks use when cross-document attention
+    contamination at bin boundaries matters more than padding waste.
+
+    Emits ``(doc_id, shard, seq_idx, tok_offset, n_tokens, oversize)``
+    — all integers + a boolean, bit-identical on any engine.
+
+    Scale design: next-fit is a sequential recurrence with a RESET (the
+    running offset snaps to 0 whenever a document does not fit), which
+    no window/prefix-sum expresses — so packing is SHARDED exactly like
+    :func:`pack_sequences` (``shard = doc_id % n_shards``) and each
+    shard runs one Arrow-batched ``applyInPandas`` group: one shuffle
+    on shard, a per-DOCUMENT (not per-token) numpy walk inside the
+    group, shards pack independently and n_shards scales with the
+    cluster.  Output is identical across cluster sizes because shard
+    assignment and intra-shard order are pure functions of doc_id.  The
+    oracle replays the identical recurrence as a recursive CTE.
+    """
+    from .textstats import tokens_col
+
+    spark_schema = (
+        f"{id_col} long, shard long, seq_idx long, tok_offset long, "
+        "n_tokens long, oversize boolean"
+    )
+
+    def _pack(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        n = pdf["n_tokens"].to_numpy()
+        seq = np.zeros(len(n), dtype=np.int64)
+        off = np.zeros(len(n), dtype=np.int64)
+        bin_idx, used = 0, 0
+        for i, ni in enumerate(n):
+            # an empty bin always accepts (an oversize doc occupies the
+            # CURRENT empty bin rather than skipping an index)
+            if used + ni <= capacity or used == 0:
+                seq[i], off[i] = bin_idx, used
+                used += ni
+            else:
+                bin_idx += 1
+                seq[i], off[i] = bin_idx, 0
+                used = ni
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "seq_idx": seq,
+                "tok_offset": off,
+                "n_tokens": n,
+                "oversize": n > capacity,
+            }
+        )
+
+    toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    return (
+        df.select(
+            F.col(id_col),
+            F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .applyInPandas(_pack, spark_schema)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

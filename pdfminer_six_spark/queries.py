@@ -4994,6 +4994,50 @@ LEFT JOIN vb ON vb.doc_id = nt.doc_id AND vb.b = dims.dim
 """
 
 
+def q_pack_nosplit(spark, sf_dir):
+    """Next-fit no-split sequence packing (ops.clean.pack_sequences_
+    nosplit): documents never straddle bin boundaries — the packing
+    mode for attention-contamination-sensitive training.  The reset
+    recurrence is inexpressible as a window/prefix sum, so each shard
+    runs one Arrow-batched applyInPandas walk (per-document, not
+    per-token); the oracle replays the identical recurrence as a
+    recursive CTE.  All-integer output — no float discipline needed."""
+    from pdfminer_six_spark.ops.clean import pack_sequences_nosplit
+
+    return pack_sequences_nosplit(
+        _t(spark, sf_dir, "documents"), capacity=256, n_shards=32
+    )
+
+
+_SQL_PACK_NOSPLIT = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id)
+           AS rn
+  FROM documents),
+walk AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_idx,
+         CAST(0 AS BIGINT) AS tok_offset,
+         n_tokens AS used
+  FROM toks WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN w.used + t.n_tokens <= 256 OR w.used = 0
+              THEN w.seq_idx ELSE w.seq_idx + 1 END,
+         CASE WHEN w.used + t.n_tokens <= 256 OR w.used = 0
+              THEN w.used ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN w.used + t.n_tokens <= 256 OR w.used = 0
+              THEN w.used + t.n_tokens ELSE t.n_tokens END
+  FROM walk w JOIN toks t ON t.shard = w.shard AND t.rn = w.rn + 1)
+SELECT doc_id, shard, seq_idx, tok_offset, n_tokens,
+       n_tokens > 256 AS oversize
+FROM walk
+"""
+
+
 # r05 ROTATION (executes VERDICT r04 "next round" item 1): the five
 # first-class corpus ops that had never had a driver row
 # (decontaminate_rate, blocklist_filter, c4_line_clean, ccnet_buckets,
@@ -5122,6 +5166,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "text_repetition": (q_text_repetition, _sql_repetition()),
     "text_entropy": (q_text_entropy, _SQL_TEXT_ENTROPY),
     "hash_embed": (q_hash_embed, _SQL_HASH_EMBED),
+    "pack_nosplit": (q_pack_nosplit, _SQL_PACK_NOSPLIT),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR),
     "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     "bpe_pair_stats": (q_bpe_pair_stats, _SQL_BPE_PAIRS),

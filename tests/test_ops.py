@@ -3467,3 +3467,61 @@ def test_hash_embed_hand_computed_and_composes(spark):
     )
     pairs = embedding_near_duplicates(emb, threshold=0.99).collect()
     assert [(p["vec_a"], p["vec_b"]) for p in pairs] == [(1, 4)]
+
+
+def test_pack_nosplit_hand_computed_and_invariants(spark):
+    """Next-fit no-split packing: hand-checked walk incl. an oversize
+    lead doc (occupies bin 0, no skipped index), empty docs, and the
+    no-straddle invariant tok_offset + n_tokens <= capacity for every
+    non-oversize doc."""
+    from pdfminer_six_spark.ops.clean import pack_sequences_nosplit
+
+    def words(k):
+        return " ".join(["w"] * k)
+
+    # one shard (n_shards=1): docs in id order with token counts
+    # 12, 0, 3, 5, 9, 20 at capacity 10
+    df = spark.createDataFrame(
+        [
+            (0, words(12)),  # oversize -> bin 0, offset 0
+            (1, ""),         # 0 tokens -> bin 0 is full (12>10): new bin?
+            (2, words(3)),
+            (3, words(5)),
+            (4, words(9)),
+            (5, words(20)),  # oversize again
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences_nosplit(
+            df, capacity=10, n_shards=1
+        ).collect()
+    }
+    # walk: d0 used=0 -> place bin0 off0, used=12 (oversize)
+    # d1 n=0: 12+0>10 and used!=0 -> bin1 off0, used=0
+    # d2 n=3: used==0 -> place bin1 off0, used=3
+    # d3 n=5: 3+5<=10 -> bin1 off3, used=8
+    # d4 n=9: 8+9>10 -> bin2 off0, used=9
+    # d5 n=20: 9+20>10 -> bin3 off0, used=20 (oversize)
+    expect = {
+        0: (0, 0, 12, True),
+        1: (1, 0, 0, False),
+        2: (1, 0, 3, False),
+        3: (1, 3, 5, False),
+        4: (2, 0, 9, False),
+        5: (3, 0, 20, True),
+    }
+    for d, (seq, off, n, over) in expect.items():
+        r = out[d]
+        assert (
+            r["seq_idx"],
+            r["tok_offset"],
+            r["n_tokens"],
+            r["oversize"],
+        ) == (seq, off, n, over), (d, r)
+        if not over:
+            assert r["tok_offset"] + r["n_tokens"] <= 10
+    # sharding: results are a pure function of doc_id order within shard
+    two = pack_sequences_nosplit(df, capacity=10, n_shards=2)
+    assert {r["shard"] for r in two.collect()} == {0, 1}
