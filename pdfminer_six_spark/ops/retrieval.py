@@ -615,3 +615,99 @@ def dsir_weights(
             ).alias("log_w"),
         )
     )
+
+
+def kn_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    train_mod: int = 10,
+    train_keep: int = 8,
+    persist_model: bool = True,
+    model: DataFrame | None = None,
+    model_handle: list | None = None,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram-LM scoring (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.26) — the smoothing family CCNet's KenLM
+    actually uses, completing the scorer ladder next to the add-one
+    bigram (:func:`ngram_lm_scores`) and stupid-backoff trigram
+    (:func:`trigram_lm_scores`):
+
+        P(w2|w1) = max(cb - d, 0)/cu + (d * n1f(w1)/cu) * Pc(w2)
+
+    with absolute discount ``d``, ``n1f(w1)`` the number of distinct
+    continuations of ``w1``, and the CONTINUATION distribution
+    ``Pc(w2) = (cont(w2) + 1)/(B + V + 1)`` where ``cont(w2)`` counts
+    distinct predecessors, ``B`` distinct bigrams and ``V`` vocabulary
+    types — add-one-floored over V+1 outcomes (the +1 is the OOV
+    bucket) so unseen words score finite instead of -inf.  An unseen
+    PREFIX (cu = 0) backs off to ``Pc(w2)`` alone.
+
+    Every model relation (cu, n1f, cont, B, V) derives from the ONE
+    bigram count table ``cb`` built over the deterministic
+    ``pmod(id, train_mod) < train_keep`` slice — same train/score
+    contract, model-table persistence rules (``persist_model`` /
+    ``model_handle`` / external ``model``) and output shape
+    ``(doc_id, n_bigrams, avg_nll, ppl)`` as ngram_lm_scores.
+
+    Float determinism: P is one fixed-shape arithmetic expression over
+    exact integer-derived doubles — spelled identically in the oracle so
+    both engines run the same IEEE ops — and the per-doc mean of lns is
+    the only order-dependent sum, rounded to 6 (the ngram_lm
+    discipline)."""
+    toks = tokens_col(normalized_text(F.col(text_col)))
+    base = df.select(F.col(id_col), _bigrams(toks).alias("bg"))
+    cb = (
+        model
+        if model is not None
+        else bigram_lm_model(df, text_col, id_col, train_mod, train_keep)
+    )
+    # same scan-count argument as ngram_lm_scores, with one more
+    # consumer: cb feeds the score join + cu + n1f + cont + scalars.
+    if persist_model and model is None:
+        cb = cb.persist()
+        if model_handle is not None:
+            model_handle.append(cb)
+    cu = cb.groupBy("w1").agg(
+        F.sum("cb").alias("cu"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    # scalars B (distinct bigrams) and V (vocab types): 1-row broadcasts
+    bs = cb.agg(F.count(F.lit(1)).alias("b"))
+    vs = cb.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    d = F.lit(float(discount))
+    pc = (F.coalesce(F.col("cont"), F.lit(0)).cast("double") + 1.0) / (
+        F.col("b").cast("double") + F.col("v").cast("double") + 1.0
+    )
+    cud = F.col("cu").cast("double")
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("cb"), F.lit(0)).cast("double") - d, F.lit(0.0)
+        )
+        / cud
+        + d * F.col("n1f").cast("double") / cud * pc
+    )
+    p = F.when(F.col("cu").isNull(), pc).otherwise(seen)
+    scored = (
+        base.select(id_col, F.explode("bg").alias("bgp"))
+        .select(id_col, "bgp.w1", "bgp.w2")
+        .join(cb, ["w1", "w2"], "left")
+        .join(cu, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(vs))
+        .select(id_col, F.log(p).alias("logp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.sum("logp") / F.count(F.lit(1))).alias("nll"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("nll"), 6).alias("avg_nll"),
+        F.round(F.exp("nll"), 6).alias("ppl"),
+    )

@@ -5038,6 +5038,60 @@ FROM walk
 """
 
 
+def q_kn_lm_score(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring
+    (ops.retrieval.kn_lm_scores) — the smoothing family CCNet's KenLM
+    uses, completing the scorer ladder (add-one bigram, stupid-backoff
+    trigram, KN bigram).  All model relations derive from the one
+    persisted bigram count table; P is a fixed-shape IEEE expression
+    spelled identically in both engines; the per-doc mean of lns
+    rounds to 6 (the ngram_lm discipline)."""
+    from pdfminer_six_spark.ops import retrieval
+
+    return retrieval.kn_lm_scores(
+        _t(spark, sf_dir, "documents"), persist_model=False
+    )
+
+
+_SQL_KN_LM = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g')), '\\s+'),
+           x -> x <> '') AS t
+  FROM documents),
+idx AS (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM toks),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM idx),
+tr AS (SELECT * FROM pairs WHERE doc_id % 10 < 8),
+cb AS (SELECT w1, w2, COUNT(*) AS cb FROM tr GROUP BY 1, 2),
+cu AS (SELECT w1, SUM(cb) AS cu, COUNT(*) AS n1f FROM cb GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS cont FROM cb GROUP BY 1),
+bb AS (SELECT COUNT(*) AS b FROM cb),
+vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+         (SELECT w1 AS w FROM cb UNION ALL SELECT w2 AS w FROM cb)),
+sc AS (
+  SELECT p.doc_id,
+         ln(CASE WHEN cu.cu IS NULL
+              THEN (COALESCE(cont.cont, 0) + 1.0) / (bb.b + vv.v + 1.0)
+              ELSE GREATEST(COALESCE(cb.cb, 0) - 0.75, 0.0) / cu.cu
+                   + 0.75 * cu.n1f / cu.cu
+                     * ((COALESCE(cont.cont, 0) + 1.0)
+                        / (bb.b + vv.v + 1.0))
+            END) AS logp
+  FROM pairs p
+  LEFT JOIN cb ON p.w1 = cb.w1 AND p.w2 = cb.w2
+  LEFT JOIN cu ON p.w1 = cu.w1
+  LEFT JOIN cont ON p.w2 = cont.w2
+  CROSS JOIN bb CROSS JOIN vv),
+agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+               -SUM(logp) / COUNT(*) AS nll
+        FROM sc GROUP BY 1)
+SELECT doc_id, n_bigrams,
+       ROUND(nll, 6) AS avg_nll, ROUND(EXP(nll), 6) AS ppl
+FROM agg
+"""
+
+
 # r05 ROTATION (executes VERDICT r04 "next round" item 1): the five
 # first-class corpus ops that had never had a driver row
 # (decontaminate_rate, blocklist_filter, c4_line_clean, ccnet_buckets,
@@ -5167,6 +5221,7 @@ QUERIES: Dict[str, QuerySpec] = {
     "text_entropy": (q_text_entropy, _SQL_TEXT_ENTROPY),
     "hash_embed": (q_hash_embed, _SQL_HASH_EMBED),
     "pack_nosplit": (q_pack_nosplit, _SQL_PACK_NOSPLIT),
+    "kn_lm_score": (q_kn_lm_score, _SQL_KN_LM),
     "dsir_importance": (q_dsir_importance, _SQL_DSIR),
     "dsir_select": (q_dsir_select, _SQL_DSIR_SELECT),
     "bpe_pair_stats": (q_bpe_pair_stats, _SQL_BPE_PAIRS),

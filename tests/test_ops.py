@@ -3525,3 +3525,62 @@ def test_pack_nosplit_hand_computed_and_invariants(spark):
     # sharding: results are a pure function of doc_id order within shard
     two = pack_sequences_nosplit(df, capacity=10, n_shards=2)
     assert {r["shard"] for r in two.collect()} == {0, 1}
+
+
+def test_kn_lm_scores_equals_python_replica(spark):
+    """Interpolated Kneser-Ney bigram scoring equals an independent
+    dict-based replica (same discount, same add-one-floored
+    continuation distribution, same train slice doc_id%10<8) —
+    including an unseen-prefix backoff and an unseen bigram."""
+    import math
+    from collections import Counter
+
+    from pdfminer_six_spark.ops.retrieval import kn_lm_scores
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "a cat and a dog"),
+        (3, "the cat and the dog sat"),
+        # doc 8 is OUT of the train slice (8 % 10 >= 8): its bigrams
+        # include unseen pairs and the unseen prefix "bird"
+        (8, "the bird sat on a mat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in kn_lm_scores(df).collect()}
+
+    toks = {i: t.split() for i, t in rows}
+    train = [i for i in toks if i % 10 < 8]
+    cb = Counter(
+        (w1, w2)
+        for i in train
+        for w1, w2 in zip(toks[i], toks[i][1:])
+    )
+    cu = Counter()
+    n1f = Counter()
+    cont = Counter()
+    for (w1, w2), c in cb.items():
+        cu[w1] += c
+        n1f[w1] += 1
+        cont[w2] += 1
+    B = len(cb)
+    V = len({w for p in cb for w in p})
+    d = 0.75
+
+    def prob(w1, w2):
+        pc = (cont.get(w2, 0) + 1.0) / (B + V + 1.0)
+        if w1 not in cu:
+            return pc
+        return (
+            max(cb.get((w1, w2), 0) - d, 0.0) / cu[w1]
+            + d * n1f[w1] / cu[w1] * pc
+        )
+
+    for i, t in toks.items():
+        lps = [math.log(prob(w1, w2)) for w1, w2 in zip(t, t[1:])]
+        nll = -sum(lps) / len(lps)
+        assert got[i]["n_bigrams"] == len(lps)
+        assert abs(got[i]["avg_nll"] - round(nll, 6)) < 2e-6, (i, nll)
+        assert abs(got[i]["ppl"] - round(math.exp(nll), 6)) < 2e-5
+    # sanity: the in-model docs score lower perplexity than the held-out
+    assert got[8]["ppl"] > max(got[i]["ppl"] for i in train)

@@ -266,6 +266,9 @@ BNLJ_ALLOWED = {
     # same shape one order up: 1-row (T, V) broadcast onto the p1 table
     # and the scored positions; the backoff-ladder joins are equi-joins
     "trigram_lm_score": 1,
+    # two 1-row scalar broadcasts (B = distinct bigrams, V = vocab);
+    # all model-count joins (cb/cu/cont) are equi-joins
+    "kn_lm_score": 1,
     # 1-row (n_docs, avgdl) stats broadcast; postings pruned by the
     # broadcast query-term equi-join first
     "bm25_search": 1,
