@@ -114,6 +114,10 @@ def main() -> None:
         "cluster_domain_report",
         "tokenizer_fertility",
         "hll_distinct_shingles",
+        "text_entropy",
+        "hash_embed",
+        "pack_nosplit",
+        "kn_lm_score",
     ]
     for _ in range(repeats):
         for name in suite:

@@ -729,53 +729,69 @@ def hash_embed(
     L2-normalized double vector (all-zero when the document is empty or
     its signs fully cancel — filter ``n_tokens > 0`` / non-zero vectors
     before feeding cosine ops, whose 0-norm division throws under ANSI
-    mode).  md5 rather than xxhash64 because the
-    oracle must reproduce the values exactly (the deterministic_split /
-    rollfp precedent: ``conv(substr(md5,1,8),16,10)`` == DuckDB
+    mode).  md5 rather than xxhash64 because the oracle must reproduce
+    the values exactly (the deterministic_split / rollfp precedent:
+    ``conv(substr(md5,1,8),16,10)`` == DuckDB
     ``CAST('0x'||substr(md5,1,8) AS UBIGINT)``).
 
-    Scale design: one scan-local projection — zero shuffles.  Tokens
-    project ONCE into a (bucket, sign) struct array (md5 evaluated once
-    per token); the histogram is a dims-wide transform folding that
-    array (O(dims*n) per row with dims small by construction).  The
-    output partitions exactly like its source, so a downstream
-    embedding op starts from scan-local vectors.
+    Scale design: explode + TWO-LEVEL codegen hash aggregate, not a
+    per-row higher-order fold — a dims-wide ``aggregate`` lambda over
+    every token runs interpreted (no whole-stage codegen inside HOFs)
+    and measured 8.4 s at sf0.1 vs 1.3 s for this shape.  The partial
+    (map-side) aggregate combines each scan split to <= docs x dims
+    rows BEFORE the exchange, so the only shuffle is model-sized, not
+    token-sized; the second doc-keyed aggregate pivots buckets into the
+    vector via a map lookup (order-independent).  md5 is evaluated once
+    per token inside codegen.
     """
     from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
 
     toks = tokens_col(normalized_text(F.coalesce(F.col(text_col), F.lit(""))))
-    pairs = F.transform(
-        toks,
-        lambda t: F.struct(
-            F.pmod(
-                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-                F.lit(dims),
-            ).cast("int").alias("b"),
+    t = F.col("_t")
+    ex = df.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.explode_outer("_toks").alias("_t"),
+    )
+    per = (
+        ex.groupBy(
+            id_col,
+            "n_tokens",
             F.when(
-                F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("int") % 2
-                == 0,
-                F.lit(1).cast("long"),
-            ).otherwise(F.lit(-1).cast("long")).alias("s"),
-        ),
+                t.isNotNull(),
+                F.pmod(
+                    F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+                        "long"
+                    ),
+                    F.lit(dims),
+                ).cast("int"),
+            ).alias("b"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.conv(F.substring(F.md5(t), 9, 1), 16, 10).cast("int")
+                    % 2
+                    == 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+            ).alias("v")
+        )
     )
-    base = df.select(
-        F.col(id_col), pairs.alias("_pairs")
+    m = F.map_from_entries(
+        F.filter(
+            F.collect_list(F.struct("b", "v")),
+            lambda e: e["b"].isNotNull(),
+        )
     )
+    vecd = per.groupBy(id_col, "n_tokens").agg(m.alias("_m"))
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dims - 1)),
-        lambda b: F.aggregate(
-            F.col("_pairs"),
-            F.lit(0).cast("long"),
-            lambda acc, p: acc + F.when(p["b"] == b, p["s"]).otherwise(
-                F.lit(0).cast("long")
-            ),
+        lambda b: F.coalesce(
+            F.element_at(F.col("_m"), b.cast("int")), F.lit(0).cast("long")
         ),
     )
-    withv = base.select(
-        id_col,
-        F.size("_pairs").cast("long").alias("n_tokens"),
-        vec.alias("vec"),
-    )
+    withv = vecd.select(id_col, "n_tokens", vec.alias("vec"))
     nrm = F.sqrt(
         F.aggregate(
             F.col("vec"),

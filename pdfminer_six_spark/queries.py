@@ -5048,9 +5048,10 @@ def q_kn_lm_score(spark, sf_dir):
     rounds to 6 (the ngram_lm discipline)."""
     from pdfminer_six_spark.ops import retrieval
 
-    return retrieval.kn_lm_scores(
-        _t(spark, sf_dir, "documents"), persist_model=False
-    )
+    # default persist: cb feeds FIVE consumers (score join, cu/n1f,
+    # cont, B, V) — unpersisted that is five corpus text scans (the
+    # ngram_lm_score scan-count argument, one consumer worse)
+    return retrieval.kn_lm_scores(_t(spark, sf_dir, "documents"))
 
 
 _SQL_KN_LM = """
