@@ -489,35 +489,43 @@ def kmeans_fixed_point(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
     )
-    q = embeddings.select(F.col(id_col).alias("_kid"), qv.alias("_qv"))
+    # Persist the quantized (id, qv) projection for the LIFETIME OF THE
+    # LOOP (guide §5: reuse + recompute-cost both high): unpersisted, the
+    # init top-k, every one of the n_iters update jobs AND the final
+    # assignment each re-scan the source and re-quantize — n_iters + 2
+    # full input passes.  Persisted, the input is read once (the init
+    # job materializes the cache) and every later pass starts from the
+    # narrow quantized longs.  The cached relation is (id, int64[dim]) —
+    # the same order of size as the embeddings input, MEMORY_AND_DISK so
+    # it spills rather than evicting at 100 TB.  Interleaved best-of-3
+    # A/B at sf0.1 local[32], together with the expr-built assignment
+    # below: kmeans_assign 4.23 -> 1.72 s, and the composed
+    # cluster_domain_report 4.72 -> 2.15 s.
+    q = embeddings.select(F.col(id_col).alias("_kid"), qv.alias("_qv")).persist()
 
     init = q.orderBy("_kid").limit(k).collect()
     cents: List[List[int]] = [list(r["_qv"]) for r in init]
 
     def _assign(df: DataFrame) -> DataFrame:
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("cell"),
-                    F.array(*[F.lit(int(v)) for v in c]).alias("cv"),
-                )
-                for j, c in enumerate(cents)
-            ]
-        )
-        best = F.array_min(
-            F.transform(
-                cent_lit,
-                lambda c: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("_qv"), c["cv"], lambda a, b: (a - b) * (a - b)
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    c["cell"].alias("cell"),
-                ),
-            )
+        # The assignment expression is built as ONE SQL string (a nested
+        # bigint array literal + transform's (elem, index) lambda), not a
+        # CreateArray of k*dim scalar literal Columns: the loop rebuilds
+        # this expression every iteration (fresh centroid values), and
+        # the Column-DSL form paid ~0.3 s/iteration of py4j round-trips
+        # plus JVM analysis over a ~500-node tree, dominating the
+        # iteration at bench scale (the data pass is milliseconds).
+        # Measured per-iteration (plan-build, job) at sf0.1 local[32]:
+        # (0.10, 0.50) Column-DSL -> (0.07, 0.32) expr.  Semantics are
+        # unchanged and A/B-verified row-identical: exact BIGINT
+        # distances, tie to the smallest cell via array_min over the
+        # (d, cell) struct.
+        carr = "array(" + ",".join(
+            "array(" + ",".join(f"{int(v)}L" for v in c) + ")" for c in cents
+        ) + ")"
+        best = F.expr(
+            f"array_min(transform({carr}, (c, j) -> named_struct("
+            "'d', aggregate(zip_with(_qv, c, (a, b) -> (a - b) * (a - b)), "
+            "cast(0 as bigint), (acc, x) -> acc + x), 'cell', j)))"
         )
         return df.withColumn("_best", best)
 

@@ -271,14 +271,20 @@ def minhash_signatures(
 
 
 def _banded_signatures(
-    sig: DataFrame, num_hashes: int, bands: int
+    sig: DataFrame, num_hashes: int, bands: int, keep_sig: bool = False
 ) -> DataFrame:
     """(doc_id, band, bucket) from a (doc_id, sig array<long>) relation:
     each band's slice of the signature hashes to one 8-byte bucket key,
-    so the similarity join becomes an equi-join on (band, bucket)."""
+    so the similarity join becomes an equi-join on (band, bucket).
+    ``keep_sig=True`` additionally carries the signature array through
+    the explode (column order doc_id, band, bucket, sig) — callers that
+    want banded rows WITH their signature (the fixture writers) get them
+    from the one projection instead of joining the signature relation
+    back on doc_id (one row per doc_id, so the rows are identical)."""
     rows_per_band = num_hashes // bands
-    return sig.select(
+    out = sig.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -298,7 +304,10 @@ def _banded_signatures(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    )
+    if keep_sig:
+        return out.select("doc_id", "bb.band", "bb.bucket", "sig")
+    return out.select("doc_id", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_candidates(
@@ -968,6 +977,7 @@ def incremental_minhash(
     bands: int = 8,
     text_col: str = "text",
     n: int = 3,
+    batch_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy incremental dedup: match a NEW crawl batch against a
     HISTORICAL minhash-signature index — the near-dup counterpart of
@@ -991,8 +1001,20 @@ def incremental_minhash(
     bucket and batches probe it), and verification joins only the
     candidate pairs' signatures.  Estimator granularity is 1/num_hashes,
     so thresholds should sit strictly between representable fractions
-    (0.6 with 16 hashes ≡ >= 10/16)."""
-    bsig = minhash_signatures(batch, num_hashes, text_col, n)
+    (0.6 with 16 hashes ≡ >= 10/16).
+
+    ``batch_sig`` lets a caller that has ALREADY computed (and typically
+    persisted) the batch's signatures pass them in instead of paying the
+    corpus scan + shingle explode + minhash aggregate again — the batch
+    signature relation feeds two consumers here (banding + the agreement
+    verify), so an unpersisted recompute costs two extra corpus passes.
+    Must be exactly ``minhash_signatures(batch, num_hashes, text_col,
+    n)``; equality of both paths is pytest-pinned."""
+    bsig = (
+        batch_sig
+        if batch_sig is not None
+        else minhash_signatures(batch, num_hashes, text_col, n)
+    )
     bb = _banded_signatures(bsig, num_hashes, bands)
     ib = _banded_signatures(index_sig, num_hashes, bands)
     cand = (

@@ -82,8 +82,20 @@ def ngram_lm_scores(
     persist_model: bool = True,
     model: DataFrame | None = None,
     model_handle: list | None = None,
+    carry: dict | None = None,
 ) -> DataFrame:
     """Add-one-smoothed bigram-LM scoring of every document.
+
+    ``carry`` is an optional ``{name: Column}`` mapping of per-document
+    expressions over ``df`` to thread through the scoring pipeline and
+    emit alongside the score columns (output order: id, *carry,
+    n_bigrams, avg_nll, ppl).  A carried column rides the bigram explode
+    and the per-doc aggregation as an extra grouping key, which costs a
+    few bytes per exploded row — but saves the consumer a SECOND corpus
+    scan plus a doc_id join to attach the same value (the ccnet_buckets
+    pred_lang case: one scan computes score inputs AND the language
+    vote).  Each carried expression must be functionally determined by
+    the document row (it becomes part of the groupBy key).
 
     Cache lifetime: with ``persist_model=True`` (and no external
     ``model``) the bigram count table is persisted and stays cached for
@@ -118,7 +130,12 @@ def ngram_lm_scores(
     (the driver's float canonicalization width).
     """
     toks = tokens_col(normalized_text(F.col(text_col)))
-    base = df.select(F.col(id_col), _bigrams(toks).alias("bg"))
+    carry_names = list(carry or {})
+    base = df.select(
+        F.col(id_col),
+        *[c.alias(nm) for nm, c in (carry or {}).items()],
+        _bigrams(toks).alias("bg"),
+    )
     cb = (
         model
         if model is not None
@@ -153,13 +170,14 @@ def ngram_lm_scores(
     v = vocab.agg(F.count_distinct("w").alias("v"))
 
     scored = (
-        base.select(id_col, F.explode("bg").alias("b"))
-        .select(id_col, "b.w1", "b.w2")
+        base.select(id_col, *carry_names, F.explode("bg").alias("b"))
+        .select(id_col, *carry_names, "b.w1", "b.w2")
         .join(cb, ["w1", "w2"], "left")
         .join(cu, ["w1"], "left")
         .crossJoin(F.broadcast(v))
         .select(
             id_col,
+            *carry_names,
             (
                 F.log(F.coalesce(F.col("cb"), F.lit(0)).cast("double") + 1.0)
                 - F.log(
@@ -169,12 +187,13 @@ def ngram_lm_scores(
             ).alias("logp"),
         )
     )
-    agg = scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col, *carry_names).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (-F.sum("logp") / F.count(F.lit(1))).alias("_nll"),
     )
     return agg.select(
         id_col,
+        *carry_names,
         "n_bigrams",
         F.round(F.col("_nll"), 6).alias("avg_nll"),
         F.round(F.exp(F.col("_nll")), 6).alias("ppl"),
@@ -456,13 +475,28 @@ def ccnet_buckets(
       ~1/sketch_accuracy relative rank); the exact-vs-sketch differential
       is pytest-pinned at test scale.
     """
-    from pdfminer_six_spark.ops.textstats import language_id
+    from pdfminer_six_spark.ops.textstats import language_vote_expr
 
-    scores = ngram_lm_scores(
-        df, text_col=text_col, id_col=id_col, model=model
+    # r06: the language vote is CARRIED through the scoring pipeline
+    # (ngram_lm_scores carry=) instead of computed by a second
+    # language_id corpus scan and attached with a doc_id join — one
+    # corpus read fewer and one join fewer for identical rows (the vote
+    # is a pure per-row function of text).  The lowercased token array
+    # is projected once (`_lang_toks`) so the split never re-evaluates
+    # per language (the _bigrams O(tokens^2) lesson).
+    from pdfminer_six_spark.ops.textstats import tokens_col as _tc
+
+    base = df.withColumn(
+        "_lang_toks",
+        F.transform(_tc(F.col(text_col)), lambda t: F.lower(t)),
     )
-    langs = language_id(df, text_col).select(id_col, "pred_lang")
-    joined = scores.join(langs, id_col)
+    joined = ngram_lm_scores(
+        base,
+        text_col=text_col,
+        id_col=id_col,
+        model=model,
+        carry={"pred_lang": language_vote_expr(F.col("_lang_toks"))},
+    )
     if cutoffs == "exact":
         from pyspark.sql.window import Window
 

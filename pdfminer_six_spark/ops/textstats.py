@@ -114,32 +114,46 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-vote language ID (n-gram heuristic family). Deterministic:
-    score per language = #tokens in that language's stopword list;
-    ties break lexicographically."""
-    lower_toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
-    scored = df.withColumn("_toks", lower_toks)
+def language_vote_expr(toks_col) -> "F.Column":
+    """The stopword-vote argmax as ONE Column over a lowercased token
+    ARRAY column (callers project the tokenization once — see
+    language_id — so the regexp split is never re-evaluated per
+    language).  score per language = #tokens in that language's stopword
+    list; ties break lexicographically."""
     langs = sorted(STOPWORDS)
-    score_cols = []
-    for lang in langs:
-        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        scored = scored.withColumn(
-            f"_score_{lang}",
-            F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(stop, t))),
-        )
-        score_cols.append(f"_score_{lang}")
-    # argmax with lexicographic tiebreak
     pairs = F.array(
-        *[F.struct(F.col(c).alias("s"), F.lit(lang).alias("l"))
-          for c, lang in zip(score_cols, langs)]
+        *[
+            F.struct(
+                F.size(
+                    F.filter(
+                        toks_col,
+                        lambda t: F.array_contains(
+                            F.array(*[F.lit(w) for w in STOPWORDS[lang]]), t
+                        ),
+                    )
+                ).alias("s"),
+                F.lit(lang).alias("l"),
+            )
+            for lang in langs
+        ]
     )
     best = F.aggregate(
         pairs,
         F.struct(F.lit(-1).alias("s"), F.lit("").alias("l")),
         lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
     )
-    return scored.withColumn("pred_lang", best["l"]).drop("_toks", *score_cols)
+    return best["l"]
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID (n-gram heuristic family). Deterministic:
+    score per language = #tokens in that language's stopword list;
+    ties break lexicographically."""
+    lower_toks = F.transform(tokens_col(F.col(text_col)), lambda t: F.lower(t))
+    scored = df.withColumn("_toks", lower_toks)
+    return scored.withColumn(
+        "pred_lang", language_vote_expr(F.col("_toks"))
+    ).drop("_toks")
 
 
 def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -401,48 +415,93 @@ def hll_distinct_shingles(
         *[F.lit(1 << k).cast("long") for k in range(0, r_scale + 1)]
     )
 
-    outs = []
-    for n in ns:
-        regs = hll_registers(df, text_col=text_col, n=n, p=p)
-        # contribution 2^(R - r) via a literal power table (element_at is
-        # 1-based): integer-exact, no float pow
-        contrib = F.element_at(pow2, (F.lit(r_scale) - F.col("r")) + 1)
-        summary = regs.agg(
-            F.count(F.lit(1)).alias("_np"),
-            F.sum(contrib).alias("_sp"),
-            F.sum("nd").alias("_nd"),
-        )
-        v = F.lit(m) - F.col("_np")
-        s = F.col("_sp") + v * F.lit(1 << r_scale)
-        raw = F.lit(alpha * m * m * float(1 << r_scale)) / s.cast("double")
-        est = F.when(
-            (raw <= F.lit(2.5 * m)) & (v > 0),
-            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
-        ).otherwise(raw)
-        exact = (
-            F.col("_nd")
-            if include_exact
-            else F.lit(None).cast("long")
-        )
-        outs.append(
-            summary.select(
-                F.lit(n).cast("long").alias("n"),
-                F.lit(m).cast("long").alias("m_registers"),
-                v.cast("long").alias("v_zeros"),
-                s.cast("long").alias("s_scaled"),
-                exact.alias("exact_distinct"),
-                F.round(est, 4).alias("hll_estimate"),
-                F.round(
-                    est / F.col("_nd").cast("double") - 1.0, 4
-                ).alias("rel_err")
-                if include_exact
-                else F.lit(None).cast("double").alias("rel_err"),
+    # r06: ONE corpus scan for all ns, not one per n.  The old
+    # union-of-branches shape re-ran the normalize + tokenize + n-gram
+    # explode once per n (3 corpus scans in the before-plan); here the
+    # token array is projected once and each n's distinct-gram array is
+    # tagged with its n and concatenated BEFORE the explode, so the
+    # whole sketch is scan -> explode -> one (n, reg) aggregate -> one
+    # per-n rollup.  Gram semantics per n are dedup.shingles' verbatim
+    # (array_distinct inside the row, short-doc whole-text gram, ''
+    # filtered); register/rank/indicator arithmetic is unchanged, so
+    # rows equal the old union's.  Best-of-3 A/B at sf0.1 local[32]
+    # (with the scan rebalance below): 2.92 -> 1.55 s.
+    # rebalance (the repetition_signals precedent): the gram hashing +
+    # register partials are scan-local work amplified ~3 x tokens-per-doc
+    # fold, and the one post-explode aggregate collapses map-side to
+    # <= 3*m register partials per task — so an under-split local input
+    # (1-2 parquet row groups) would otherwise hash every gram on one
+    # core.  No-op on a many-split 100 TB corpus.
+    base = rebalance_for_compute(df.select(F.col(text_col))).select(
+        tokens_col(normalized_text(F.col(text_col))).alias("_toks")
+    )
+    t = F.col("_toks")
+
+    def _tagged_grams(n: int):
+        mlen = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        arrs = [F.slice(t, i + 1, mlen) for i in range(n)]
+        grams_zip = arrs[0]
+        for arr in arrs[1:]:
+            grams_zip = F.zip_with(
+                grams_zip, arr, lambda a, b: F.concat_ws(" ", a, b)
             )
+        grams = F.when(F.size(t) >= n, grams_zip).otherwise(
+            F.array(F.concat_ws(" ", t))
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        return F.transform(
+            F.array_distinct(grams),
+            lambda s: F.struct(F.lit(n).alias("n"), s.alias("shingle")),
+        )
+
+    tagged = F.concat(*[_tagged_grams(n) for n in ns])
+    sh = (
+        base.select(F.explode(tagged).alias("g"))
+        .select("g.n", "g.shingle")
+        .filter(F.col("shingle") != "")
+    )
+    w_hash = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h")
+    )
+    thresholds = F.array(
+        *[
+            F.lit(1 << (rank_bits - j)).cast("long")
+            for j in range(1, rank_bits + 1)
+        ]
+    )
+    g = sh.select("n", w_hash)
+    w_suffix = F.shiftright(F.col("_h"), p)
+    rank = F.lit(1) + F.size(F.filter(thresholds, lambda th: w_suffix < th))
+    regs = g.groupBy(
+        "n", F.col("_h").bitwiseAND(F.lit(m - 1)).alias("reg")
+    ).agg(F.max(rank).alias("r"), F.countDistinct("_h").alias("nd"))
+
+    contrib = F.element_at(pow2, (F.lit(r_scale) - F.col("r")) + 1)
+    summary = regs.groupBy("n").agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.sum(contrib).alias("_sp"),
+        F.sum("nd").alias("_nd"),
+    )
+    v = F.lit(m) - F.col("_np")
+    s = F.col("_sp") + v * F.lit(1 << r_scale)
+    raw = F.lit(alpha * m * m * float(1 << r_scale)) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = F.col("_nd") if include_exact else F.lit(None).cast("long")
+    return summary.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(m).cast("long").alias("m_registers"),
+        v.cast("long").alias("v_zeros"),
+        s.cast("long").alias("s_scaled"),
+        exact.alias("exact_distinct"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(est / F.col("_nd").cast("double") - 1.0, 4).alias("rel_err")
+        if include_exact
+        else F.lit(None).cast("double").alias("rel_err"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

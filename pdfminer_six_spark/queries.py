@@ -3268,25 +3268,35 @@ def q_cluster_domain_report(spark, sf_dir):
     joined = docs.join(cells, "doc_id").select(
         "cell", "source", "lang", toks.alias("n_toks")
     )
-    per_source = joined.groupBy("cell", "source").agg(
-        F.count(F.lit(1)).alias("sn")
+    # ONE pass over the join (r06): `joined` used to feed two independent
+    # aggregates (per-source counts for the majority window + per-cell
+    # stats) whose pruned subtrees don't ReuseExchange — the whole
+    # kmeans-assignment + corpus join subplan executed TWICE (8 parquet
+    # scans in the before-plan).  Instead aggregate once at
+    # (cell, source, lang) granularity — map-side combinable, k x sources
+    # x langs groups — then roll everything up in tiny follow-up aggs:
+    # majority source via min_by over the (-sn, source) struct (exactly
+    # the ROW_NUMBER(ORDER BY sn DESC, source ASC) = 1 tiebreak the
+    # oracle spells), n_langs via the distinct union of per-group lang
+    # sets.  Same rows, one kmeans chain, no window, no self-join.
+    g = joined.groupBy("cell", "source", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_toks").alias("toks")
     )
-    w = Window.partitionBy("cell").orderBy(
-        F.col("sn").desc(), F.col("source").asc()
+    g2 = g.groupBy("cell", "source").agg(
+        F.sum("n").alias("sn"),
+        F.sum("toks").alias("stoks"),
+        F.collect_set("lang").alias("langs"),
     )
-    majority = (
-        per_source.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cell", F.col("source").alias("majority_source"))
-    )
-    stats = joined.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_toks").alias("n_tokens"),
-        F.countDistinct("lang").alias("n_langs"),
-    )
-    return stats.join(majority, "cell").select(
-        "cell", "n_docs", "n_tokens", "majority_source", "n_langs"
-    )
+    return g2.groupBy("cell").agg(
+        F.sum("sn").alias("n_docs"),
+        F.sum("stoks").alias("n_tokens"),
+        F.min_by(
+            "source", F.struct((-F.col("sn")).alias("_neg"), F.col("source"))
+        ).alias("majority_source"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("langs"))))
+        .cast("long")
+        .alias("n_langs"),
+    ).select("cell", "n_docs", "n_tokens", "majority_source", "n_langs")
 
 
 _SQL_CLUSTER_DOMAIN_FINAL = """
@@ -4072,21 +4082,30 @@ def q_dedup_incremental_fuzzy(spark, sf_dir):
     ).collect()[0][0]
     hist = docs.filter(F.col("doc_id") % 2 == 1)
     batch = docs.filter(F.col("doc_id") % 2 == 0)
-    isig = minhash_signatures(hist)
-    bsig = minhash_signatures(batch)
+    # r06: persist both signature relations — each is consumed FOUR
+    # times across the fixture write + the returned incremental join
+    # (banding + sig join-back per side), and unpersisted every consumer
+    # re-runs the corpus scan + shingle explode + minhash aggregate (8
+    # signature aggregations total in the before-plans).  The cached
+    # relation is 16 longs per doc — model-sized, nothing like the
+    # shingle-persist anti-pattern minhash_near_duplicates documents.
+    # Interleaved best-of-3 A/B at sf0.1 local[32]: 3.50 -> 2.26 s.
+    isig = minhash_signatures(hist).persist()
+    bsig = minhash_signatures(batch).persist()
+    # keep_sig carries the signature through the banding explode — the
+    # old join-back of sig on doc_id was a pure self-join (one row per
+    # doc) costing two extra shuffles in the fixture write.
     fixture = (
-        _banded_signatures(bsig, 16, 8)
-        .join(bsig, "doc_id")
+        _banded_signatures(bsig, 16, 8, keep_sig=True)
         .withColumn("side", F.lit("batch"))
         .unionByName(
-            _banded_signatures(isig, 16, 8)
-            .join(isig, "doc_id")
+            _banded_signatures(isig, 16, 8, keep_sig=True)
             .withColumn("side", F.lit("hist"))
         )
     )
     path = os.path.join(_INCR_MH_FIXTURE, f"fp={fp}")
     fixture.write.mode("overwrite").parquet(path)
-    return incremental_minhash(batch, isig, threshold=0.6)
+    return incremental_minhash(batch, isig, threshold=0.6, batch_sig=bsig)
 
 
 def _incr_minhash_sql() -> str:

@@ -2752,6 +2752,16 @@ def test_incremental_minhash_exact_copy_near_dup_and_disjoint(spark):
     assert all(d != 6 for d, _ in out)
     # estimator granularity: multiples of 1/16
     assert all(abs(v * 16 - round(v * 16)) < 1e-9 for v in out.values())
+    # the precomputed-signature fast path (batch_sig=) must be
+    # row-identical to letting the op derive the batch signatures itself
+    pre = {
+        (r["doc_id"], r["hist_id"]): r["est_jaccard"]
+        for r in incremental_minhash(
+            batch, isig, threshold=0.5,
+            batch_sig=minhash_signatures(batch),
+        ).collect()
+    }
+    assert pre == out
 
 
 def test_incremental_minhash_band_join_is_equi_join(spark):
@@ -3374,7 +3384,9 @@ def test_hll_registers_merge_and_estimate_accuracy(spark, docs):
     }
     assert merged == whole and whole
 
-    out = hll_distinct_shingles(docs).collect()
+    # sort: since the r06 single-scan rewrite the per-n rows come out of
+    # one groupBy (unordered, like any aggregate; the driver canonicalizes)
+    out = sorted(hll_distinct_shingles(docs).collect(), key=lambda r: r["n"])
     assert [r["n"] for r in out] == [1, 2, 3]
     for r in out:
         assert r["v_zeros"] >= 0 and r["s_scaled"] > 0
