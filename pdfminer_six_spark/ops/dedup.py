@@ -83,9 +83,22 @@ def incremental_exact(
     ).alias(fp_col)
     ids = batch.select(F.col(id_col), fp)
     seen = seen_fps.select(fp_col).distinct()
-    # phase 1 — (id, fp) only
-    hit_seen = ids.join(seen, fp_col, "left_semi").select(id_col)
-    fresh = ids.join(seen, fp_col, "left_anti")
+    # phase 1 — (id, fp) only.  r06: ONE left join against the distinct
+    # index classifies every batch row as hit/fresh at once (equivalent
+    # to the old semi+anti pair because `seen` is distinct — no row
+    # multiplication), and the classified relation is PERSISTED: it used
+    # to be recomputed for the semi join, the anti join, the min
+    # aggregate and the non-canonical join-back, each replay re-scanning
+    # the batch and re-hashing every document (52 parquet scans in the
+    # before-plan at 3 consumers x duplicated union input).  The cached
+    # relation is (id, 32-char fp, flag) — never text.  Bench A/B at
+    # sf0.1 local[32]: dedup_incremental 1.16 -> 0.75 s, plan 52
+    # parquet scans -> 5.
+    marked = ids.join(
+        seen.withColumn("_hit", F.lit(True)), fp_col, "left"
+    ).persist()
+    hit_seen = marked.filter(F.col("_hit").isNotNull()).select(id_col)
+    fresh = marked.filter(F.col("_hit").isNull()).select(id_col, fp_col)
     keep_min = fresh.groupBy(fp_col).agg(F.min(id_col).alias("_keep_id"))
     non_canonical = (
         fresh.join(keep_min, fp_col)
@@ -337,7 +350,11 @@ def minhash_lsh_candidates(
 
 
 def minhash_near_duplicates(
-    df: DataFrame, threshold: float = 0.6, num_hashes: int = 16, bands: int = 8
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    bands: int = 8,
+    restrict_verification: bool = False,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates verified by exact Jaccard,
     computed ONLY for the candidate pairs (the whole point of banding:
@@ -350,17 +367,37 @@ def minhash_near_duplicates(
     7.5s vs recompute 6.5s): the subplan is pure whole-stage-codegen
     (split -> n-gram transform -> explode) that pipelines straight into
     each aggregation, while caching materializes ~millions of shingle
-    strings through the block manager.  Recomputation is deliberate."""
+    strings through the block manager.  Recomputation is deliberate.
+
+    ``restrict_verification`` (r06, guide §3.2): the exact-Jaccard
+    verification only ever reads the CANDIDATE docs' shingle sets, but
+    the set build collect_sets for EVERY doc — at corpus scale that
+    shuffle is the op's biggest exchange.  With the flag on, the
+    candidate pair relation is persisted (tiny by banding design), its
+    distinct doc ids broadcast, and the shingle relation is
+    semi-restricted BEFORE the set aggregation, so the collect_set
+    shuffle carries only candidate docs' shingles (sane-corpus
+    candidate rate: a few percent).  Identical rows either way:
+    candidates always have >= 1 shingle by construction.  Default OFF
+    because it is a measured LOSS at bench scale (interleaved best-of-3
+    at sf0.1 local[32]: lsh 1.95 -> 3.06 s, clusters 3.18 -> 4.35 s —
+    the broadcast turns the one-DAG plan into serialized sub-jobs and
+    the whole corpus is only 5k docs) and a win only when the corpus
+    dwarfs the candidate set; production 100 TB dedup jobs should pass
+    True (and False again for duplicate-majority corpora where the
+    candidate id set could outgrow a broadcast)."""
     cand = minhash_lsh_candidates(df, num_hashes, bands)
+    sh = shingles(df).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    if restrict_verification:
+        cand = cand.persist()
+        cand_ids = cand.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        sh = sh.join(F.broadcast(cand_ids), "doc_id", "left_semi")
     # shingles() is distinct per doc, so |set| IS the shingle count — one
     # aggregation serves both the set and its size (no separate count
     # branch, two fewer join shuffles)
-    sh_sets = (
-        shingles(df)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sset"))
-    )
+    sh_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sset"))
     scored = (
         cand.join(
             sh_sets.select(F.col("doc_id").alias("doc_a"),

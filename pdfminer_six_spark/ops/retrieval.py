@@ -390,6 +390,13 @@ def bm25_topk(
         F.col(id_col),
         F.explode(tokens_col(normalized_text(F.col(text_col)))).alias("term"),
     )
+    # r06 note: two candidate rewrites were A/B-measured and REJECTED —
+    # persisting tf (the postings index) regressed 1.82 -> 3.05 s at
+    # sf0.1 (cache materialization + broadcast sub-job serialization
+    # beat the saved recomputes at bench scale), and deriving dl from tf
+    # (sum(tf) per doc) regressed 1.82 -> 2.35 s (it turns dl's one
+    # map-side-combining shuffle into two chained aggregations).  The
+    # original shape stands.
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     # document frequency only matters for query terms — restrict FIRST

@@ -1432,37 +1432,20 @@ def ngram_novelty(
     )
 
 
-def subword_tokenize(
+def _subword_encoded_words(
     df: DataFrame,
     vocab,
     text_col: str = "text",
     id_col: str = "doc_id",
     unk: str = "<unk>",
-) -> DataFrame:
-    """Apply a subword vocabulary (BPE/WordPiece-style greedy
-    longest-match encode, Sennrich et al. 2016 / Wu et al. 2016): each
-    whitespace word of the normalized text is segmented left-to-right,
-    always taking the LONGEST vocab piece that prefixes the remainder;
-    a position no piece matches emits ``unk`` and advances one
-    character.  Deterministic pure function of (word, vocab).
-
-    Emits one row per non-empty document: ``(id, n_words, n_pieces,
-    n_unk, pieces)`` where ``pieces`` is the space-joined encoded
-    stream in document order.  Token-less documents drop out (inner
-    explode — the vocab_oov contract).
-
-    Scale shape (the Zipf trick): the corpus is NEVER tokenized row by
-    row.  Words explode to (id, pos, word) — the only corpus shuffle is
-    the final groupBy(id) reassembly — and the Python encoder runs ONLY
-    over the DISTINCT-word relation, which Zipf makes orders of
-    magnitude smaller than the corpus (a hot word is encoded once, not
-    once per occurrence).  The vocab itself is model-sized and ships in
-    the UDF closure; the encoded distinct-word table joins back on
-    ``word`` (AQE's skew-join case for hot words — at web scale the
-    distinct-word side is too large to broadcast wholesale).  This is
-    the ONE sanctioned Python hot path in this module, and it is
-    Arrow-batched over distinct words, never per corpus row.
-    """
+):
+    """Shared core of the subword family: the corpus word-position
+    relation ``(id, pos, word)`` and the DISTINCT-word encode relation
+    ``(word, pieces)`` (the Zipf trick — the Python encoder runs once
+    per distinct word, never per occurrence).  ``subword_tokenize``
+    reassembles documents from these; ``tokenizer_fertility``-style
+    consumers aggregate per-word piece counts without ever building the
+    per-doc pieces string."""
     from pyspark.sql.types import StringType
 
     vset = frozenset(vocab)
@@ -1496,6 +1479,41 @@ def subword_tokenize(
     encoded = words.select("word").distinct().withColumn(
         "pieces", encode(F.col("word"))
     )
+    return words, encoded
+
+
+def subword_tokenize(
+    df: DataFrame,
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Apply a subword vocabulary (BPE/WordPiece-style greedy
+    longest-match encode, Sennrich et al. 2016 / Wu et al. 2016): each
+    whitespace word of the normalized text is segmented left-to-right,
+    always taking the LONGEST vocab piece that prefixes the remainder;
+    a position no piece matches emits ``unk`` and advances one
+    character.  Deterministic pure function of (word, vocab).
+
+    Emits one row per non-empty document: ``(id, n_words, n_pieces,
+    n_unk, pieces)`` where ``pieces`` is the space-joined encoded
+    stream in document order.  Token-less documents drop out (inner
+    explode — the vocab_oov contract).
+
+    Scale shape (the Zipf trick): the corpus is NEVER tokenized row by
+    row.  Words explode to (id, pos, word) — the only corpus shuffle is
+    the final groupBy(id) reassembly — and the Python encoder runs ONLY
+    over the DISTINCT-word relation, which Zipf makes orders of
+    magnitude smaller than the corpus (a hot word is encoded once, not
+    once per occurrence).  The vocab itself is model-sized and ships in
+    the UDF closure; the encoded distinct-word table joins back on
+    ``word`` (AQE's skew-join case for hot words — at web scale the
+    distinct-word side is too large to broadcast wholesale).  This is
+    the ONE sanctioned Python hot path in this module, and it is
+    Arrow-batched over distinct words, never per corpus row.
+    """
+    words, encoded = _subword_encoded_words(df, vocab, text_col, id_col, unk)
     per = (
         words.join(encoded, "word")
         .groupBy(id_col)

@@ -4585,18 +4585,34 @@ def q_tokenizer_fertility(spark, sf_dir):
     ratios.  Ratios are divisions of identical BIGINT sums, so both
     engines produce bit-identical doubles — no ROUND needed (the driver
     canonicalizer rounds both sides the same way)."""
-    from pdfminer_six_spark.ops.textstats import subword_tokenize
+    from pdfminer_six_spark.ops.textstats import _subword_encoded_words
 
     docs = _t(spark, sf_dir, "documents")
-    enc = subword_tokenize(docs, _subword_corpus_vocab(docs))
+    # r06: fertility only needs PER-LANG SUMS of word/piece/unk counts —
+    # the old path ran the full subword_tokenize reassembly
+    # (collect_list + array_sort + concat_ws of every doc's pieces
+    # string) only to re-split and count it.  Aggregate per-word piece
+    # counts straight off the distinct-word encode relation instead: no
+    # per-doc string assembly, no doc-level grouping.  Sums are
+    # identical (concat_ws-then-split counts exactly the per-word
+    # pieces); n_docs = countDistinct(doc_id) over the word relation =
+    # docs with >= 1 word, exactly the rows subword_tokenize emitted.
+    words, encoded = _subword_encoded_words(docs, _subword_corpus_vocab(docs))
+    ptoks = F.split(F.col("pieces"), " ")
+    wc = encoded.select(
+        "word",
+        F.size(ptoks).alias("_npc"),
+        F.size(F.filter(ptoks, lambda x: x == "<unk>")).alias("_nuk"),
+    )
     return (
-        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        words.join(wc, "word")
+        .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_words").alias("n_words"),
-            F.sum("n_pieces").alias("n_pieces"),
-            F.sum("n_unk").alias("n_unk"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_npc").cast("long").alias("n_pieces"),
+            F.sum("_nuk").cast("long").alias("n_unk"),
         )
         .select(
             "lang",

@@ -54,6 +54,19 @@ def test_minhash_lsh_recall_equals_exact(docs):
     }
     assert exact, "fixture should contain near-dups"
     assert lsh == exact
+    # the opt-in candidate-restricted verification (the 100 TB set-build
+    # path) must be row-identical to the corpus-wide set build
+    restricted = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_duplicates(
+            docs, threshold=0.6, restrict_verification=True
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_duplicates(docs, threshold=0.6).collect()
+    }
+    assert restricted == full
 
 
 def test_jaccard_df_cut_bounds_hot_shingle_fanout(spark):
