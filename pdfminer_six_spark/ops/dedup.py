@@ -262,17 +262,20 @@ def jaccard_pairs(
 
 
 def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """minhash signatures from a prepared (doc_id, shingle) relation."""
+    """minhash signatures from a prepared (doc_id, shingle) relation.
+
+    Expressions are built as SQL strings (one JVM parse each) rather
+    than nested Column DSL — the kmeans _assign lesson: this plan is
+    rebuilt on every bench invocation and the Column form paid ~0.2 s
+    of py4j round-trips per build across the 16 seeded aggregates.
+    Identical expressions, A/B-verified row-identical."""
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(
-            f"h{i}"
-        )
+        F.expr(f"min(xxhash64(concat('mh{i}:', shingle)))").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    arr = "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+    return sig.select("doc_id", F.expr(arr).alias("sig"))
 
 
 def minhash_signatures(
@@ -295,28 +298,20 @@ def _banded_signatures(
     from the one projection instead of joining the signature relation
     back on doc_id (one row per doc_id, so the rows are identical)."""
     rows_per_band = num_hashes // bands
+    # one SQL string per plan build (see _signatures_from_shingles) —
+    # sig[i] below is 0-based via element_at(sig, i+1)
+    bands_sql = ",".join(
+        "named_struct('band', {b}, 'bucket', xxhash64(concat_ws(',', {parts})))".format(
+            b=b,
+            parts=",".join(
+                f"cast(element_at(sig, {b * rows_per_band + r + 1}) as string)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     out = sig.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", "sig", F.explode(F.expr(f"array({bands_sql})")).alias("bb")
     )
     if keep_sig:
         return out.select("doc_id", "bb.band", "bb.bucket", "sig")
