@@ -33,7 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from pdfminer_six_spark.ops.textstats import normalized_text, tokens_col
+from pdfminer_six_spark.ops.textstats import (
+    normalized_text,
+    rebalance_for_compute,
+    tokens_col,
+)
 
 
 def _bigrams(toks):
@@ -65,6 +69,7 @@ def bigram_lm_model(
     feed it back to :func:`ngram_lm_scores` via ``model=`` for the
     train-once/score-many production path (scoring then reads the corpus
     text exactly once)."""
+    df = rebalance_for_compute(df)  # r06: see ngram_lm_scores (no-op if already spread)
     toks = tokens_col(normalized_text(F.col(text_col)))
     train = df.filter(
         F.pmod(F.col(id_col), F.lit(train_mod)) < train_keep
@@ -129,6 +134,12 @@ def ngram_lm_scores(
     in the last ulp, so both emitted floats are rounded to 6 decimals
     (the driver's float canonicalization width).
     """
+    # r06: rebalance the scan — both passes (model build, scoring) do
+    # their heavy work (tokenize + bigram explode + partial agg) BEFORE
+    # the first exchange, so an under-split local input runs them on
+    # 1-2 cores.  No-op on a many-split corpus (the repetition_signals /
+    # hll precedent).  A/B best-of-3 at sf0.1 local[32]: 2.47 -> 1.72 s.
+    df = rebalance_for_compute(df)
     toks = tokens_col(normalized_text(F.col(text_col)))
     carry_names = list(carry or {})
     base = df.select(
@@ -232,6 +243,7 @@ def trigram_lm_model(
     (bigram, unigram, totals, vocabulary) is a marginal SUM of this one
     relation, so the model stays a single parquet table exactly like
     :func:`bigram_lm_model`."""
+    df = rebalance_for_compute(df)  # r06: see ngram_lm_scores (no-op if already spread)
     toks = tokens_col(normalized_text(F.col(text_col)))
     train = df.filter(
         F.pmod(F.col(id_col), F.lit(train_mod)) < train_keep
@@ -282,6 +294,7 @@ def trigram_lm_scores(
     ngram_lm_scores (pass ``model_handle`` to unpersist after your
     action; pass ``model=`` a read-back parquet for train-once /
     score-many)."""
+    df = rebalance_for_compute(df)  # r06: see ngram_lm_scores
     toks = tokens_col(normalized_text(F.col(text_col)))
     base = df.select(F.col(id_col), _trigrams(toks).alias("tg"))
     c3 = (
@@ -386,6 +399,11 @@ def bm25_topk(
     with ``doc_id`` as the final tiebreak; the emitted ``score`` is the
     same rounded value.
     """
+    # r06 note: rebalance_for_compute(corpus) was A/B-measured here and
+    # REJECTED (1.52 -> 2.12 s): unlike the LM scorers, this op reads
+    # the corpus relation three times (tf twice, dl once, n_docs count)
+    # and an input repartition repeats the full-text shuffle per
+    # consumer, swamping the map-side parallelism gain.
     toks = corpus.select(
         F.col(id_col),
         F.explode(tokens_col(normalized_text(F.col(text_col)))).alias("term"),
@@ -581,6 +599,7 @@ def dsir_weights(
     """
 
     def feats(df: DataFrame):
+        df = rebalance_for_compute(df)  # r06: see ngram_lm_scores
         toks = tokens_col(normalized_text(F.col(text_col)))
         bg = F.transform(
             _bigrams(toks), lambda b: F.concat_ws(" ", b["w1"], b["w2"])
@@ -697,6 +716,7 @@ def kn_lm_scores(
     both engines run the same IEEE ops — and the per-doc mean of lns is
     the only order-dependent sum, rounded to 6 (the ngram_lm
     discipline)."""
+    df = rebalance_for_compute(df)  # r06: see ngram_lm_scores
     toks = tokens_col(normalized_text(F.col(text_col)))
     base = df.select(F.col(id_col), _bigrams(toks).alias("bg"))
     cb = (
