@@ -92,8 +92,10 @@ def incremental_exact(
     # the batch and re-hashing every document (52 parquet scans in the
     # before-plan at 3 consumers x duplicated union input).  The cached
     # relation is (id, 32-char fp, flag) — never text.  Bench A/B at
-    # sf0.1 local[32]: dedup_incremental 1.16 -> 0.75 s, plan 52
-    # parquet scans -> 5.
+    # sf0.1 local[32]: dedup_incremental 1.16 -> 0.75 s; static plan 52
+    # -> 25 Scan-parquet nodes (the formatted plan reprints the cached
+    # relation's build subtree per reference; at runtime the cache
+    # fills once, so 5 distinct source scans execute).
     marked = ids.join(
         seen.withColumn("_hit", F.lit(True)), fp_col, "left"
     ).persist()
@@ -207,37 +209,69 @@ def jaccard_pairs(
     shingles into the Jaccard denominators without error.  For relations
     where a doc_id can repeat, dedup by doc_id first (or call the shingle
     path with ``assume_unique_ids=False`` at full shuffle cost)."""
-    # cache the BASE relation (tokenize -> explode -> distinct is the
-    # expensive subplan): the hot-set aggregation, the anti-join replay,
-    # the sizes agg and both self-join sides all read it from cache —
-    # caching after the cut instead would run the explosion twice (once
-    # for the hot set, once for the cut output)
-    sh = (
-        shingles(df, text_col, n)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
     if max_df is not None:
-        # shingles() is distinct per doc, so count(*) per shingle IS the
-        # document frequency; the hot set is tiny by construction -> the
-        # anti-join broadcasts
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
+        # r06: the DF-cut path groups each shingle's (distinct-per-doc)
+        # id list ONCE and generates its <= max_df^2/2 pairs inside the
+        # row, instead of hot-set agg + broadcast anti-join + self-join
+        # (which read the cached shingle relation four times and
+        # shuffled it twice more).  The cut itself becomes a free
+        # size(ds) filter; per-doc sizes re-derive by exploding the kept
+        # lists.  Per-shingle fan-out is BOUNDED by the cut (that is the
+        # whole point of max_df), so no single task sees more than
+        # max_df^2/2 generated pairs per shingle — the skew story is
+        # identical to the join formulation, whose per-key join fan-out
+        # was the same d^2/2.  Rows are provably identical: each kept
+        # shingle contributes exactly one (least, greatest) pair per
+        # co-occurring doc pair, which is what the a<b equi-join
+        # counted.  kept is persisted — sizes and the pair explode both
+        # consume it, and it is the post-cut grouped relation (bounded
+        # lists), not the raw corpus.
+        kept = (
+            shingles(df, text_col, n)
+            .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.collect_list("doc_id").alias("ds"))
+            .filter(F.size("ds") <= max_df)
+            .persist()
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        sizes = (
+            kept.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_sh"))
         )
-        .agg(F.count("*").alias("n_common"))
-    )
+        pair_expr = (
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> "
+            "named_struct('a', least(x, y), 'b', greatest(x, y)))))"
+        )
+        inter = (
+            kept.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .groupBy(
+                F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
+    else:
+        # exact oracle mode: unbounded fan-out, keep the equi-join shape
+        # (a grouped list of an uncut hot shingle would concentrate its
+        # whole d^2 in one task).  Cache: the sizes agg and both
+        # self-join sides read the base relation.
+        sh = (
+            shingles(df, text_col, n)
+            .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+            .cache()
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        inter = (
+            sh.alias("a")
+            .join(sh.alias("b"), on="shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
+        )
     out = (
         inter.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
