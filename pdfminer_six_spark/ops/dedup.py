@@ -604,11 +604,24 @@ def duplicate_clusters(
     :func:`_checkpointer` for the executor-loss tradeoff).
     """
     ckpt = _checkpointer(pairs, reliable_checkpoint)
+    # r06: symmetrize with ONE explode, not a union of two projections —
+    # the union's two subtrees each re-evaluated the entire pair-producing
+    # plan (the LSH pipeline), doubling the edges materialization.  Same
+    # row bag before the distinct (each pair emits both directions).
     edges = ckpt(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
     labels = (
@@ -683,11 +696,24 @@ def duplicate_clusters_star(
     one job per round); at fixpoint every edge is (node, root).  Output
     matches duplicate_clusters exactly: (doc_id, cluster_id,
     cluster_size) with cluster_id = min member."""
-    # undirected edge list, deduped; u is the "center" endpoint
+    # undirected edge list, deduped; u is the "center" endpoint.
+    # r06: one-explode symmetrization (see duplicate_clusters) — the old
+    # union re-evaluated the pair-producing plan twice.
     ckpt = _checkpointer(pairs, reliable_checkpoint)
     base = ckpt(
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
@@ -712,11 +738,24 @@ def duplicate_clusters_star(
                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
                 .union(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
             )
-        # back to symmetric undirected form, self-loops dropped
+        # back to symmetric undirected form, self-loops dropped.  One
+        # explode (r06): the union form re-ran the edges⋈min-map join
+        # per direction every half-round.
         sym = rewired.filter(F.col("a") != F.col("b"))
         return (
-            sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .union(sym.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            sym.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("a").alias("u"), F.col("b").alias("v")
+                        ),
+                        F.struct(
+                            F.col("b").alias("u"), F.col("a").alias("v")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.u", "e.v")
             .distinct()
         )
 

@@ -734,10 +734,13 @@ def kn_lm_scores(
         F.sum("cb").alias("cu"), F.count(F.lit(1)).alias("n1f")
     )
     cont = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
-    # scalars B (distinct bigrams) and V (vocab types): 1-row broadcasts
-    bs = cb.agg(F.count(F.lit(1)).alias("b"))
-    vs = cb.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
-        F.count_distinct("w").alias("v")
+    # scalars B (distinct bigrams) and V (vocab types) in ONE 1-row
+    # broadcast (r06): the exploded pair relation has exactly 2 rows per
+    # cb row, so B = count/2 — merging the two scalar aggregates halves
+    # the broadcast sub-jobs and the crossJoins.
+    bv = cb.select(F.explode(F.array("w1", "w2")).alias("w")).agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("b"),
+        F.count_distinct("w").alias("v"),
     )
     d = F.lit(float(discount))
     pc = (F.coalesce(F.col("cont"), F.lit(0)).cast("double") + 1.0) / (
@@ -758,8 +761,7 @@ def kn_lm_scores(
         .join(cb, ["w1", "w2"], "left")
         .join(cu, ["w1"], "left")
         .join(cont, ["w2"], "left")
-        .crossJoin(F.broadcast(bs))
-        .crossJoin(F.broadcast(vs))
+        .crossJoin(F.broadcast(bv))
         .select(id_col, F.log(p).alias("logp"))
     )
     agg = scored.groupBy(id_col).agg(
