@@ -310,6 +310,10 @@ class Font:
         self.hscale = self.vscale = 0.001
         if self.descent > 0:
             self.descent = -self.descent  # PScript5.dll emits positive
+        # char_width memo: widths/hscale/default_width (and to_unichr's
+        # inputs) are fixed after construction, so width is a pure
+        # function of cid for this instance
+        self._wcache: Dict[int, float] = {}
 
     def __repr__(self) -> str:
         return f"<Font {self.fontname!r}>"
@@ -342,6 +346,13 @@ class Font:
         return h * self.vscale
 
     def char_width(self, cid: int) -> float:
+        cw = self._wcache.get(cid)
+        if cw is None:
+            cw = self._char_width_uncached(cid)
+            self._wcache[cid] = cw
+        return cw
+
+    def _char_width_uncached(self, cid: int) -> float:
         w = safe_float(self.widths.get(cid))
         if w is not None:
             return w * self.hscale

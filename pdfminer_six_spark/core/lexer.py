@@ -31,6 +31,7 @@ _STRING_SPECIAL = re.compile(rb"[()\\]")
 _OCTAL = re.compile(rb"[0-7]{1,3}")
 _HEXSTR_BODY = re.compile(rb"[\s0-9A-Fa-f]*")
 _FLOAT_TAIL = re.compile(rb"[0-9]*")
+_EOL = re.compile(rb"\r\n|[\r\n]")
 
 _ESCAPES = {
     0x62: b"\x08",  # \b
@@ -75,7 +76,7 @@ class Lexer:
         data, i = self.data, self.pos
         if i >= len(data):
             raise LexEOF("EOF in nextline")
-        m = re.compile(rb"\r\n|[\r\n]").search(data, i)
+        m = _EOL.search(data, i)
         if m is None:
             self.pos = len(data)
             return (i, data[i:])

@@ -114,7 +114,10 @@ class StackParser:
         while not self.results:
             pos, token = self.lexer.nexttoken()  # raises LexEOF at end
             if isinstance(token, (int, float, bool, str, bytes, Name)):
-                self.push((pos, token))
+                # inlined self.push((pos, token)) — the dominant branch;
+                # self.stack is the CURRENT frame's list (rebound by
+                # open_frame/close_frame), so look it up per call
+                self.stack.append((pos, token))
             elif token is KEYWORD_ARRAY_BEGIN:
                 self.open_frame(pos, "a")
             elif token is KEYWORD_ARRAY_END:
